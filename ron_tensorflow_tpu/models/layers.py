@@ -1,0 +1,154 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+TPU-native equivalents of the reference's slim layer conventions
+(ref: nets/ron_vgg_320.py:595-629 `ron_arg_scope`,
+nets/custom_layers.py:67-137 `l2_normalization`):
+
+- conv + optional BatchNorm + ReLU, with slim's rule that a normalizer
+  disables the conv bias;
+- BatchNorm with decay 0.997, eps 1e-5, scale=True, computed in float32
+  regardless of the activation dtype (bf16-safe);
+- Xavier (glorot uniform) weight init, zero bias init.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+BN_MOMENTUM = 0.997  # ref: nets/ron_vgg_320.py:618 (decay)
+BN_EPSILON = 1e-5  # ref: nets/ron_vgg_320.py:619
+
+
+class BatchNorm(nn.Module):
+    """float32 BatchNorm wrapper (stats and affine in f32, cast back).
+
+    Matches slim.batch_norm(decay=0.997, epsilon=1e-5, scale=True)
+    (ref: nets/ron_vgg_320.py:616-624). Cross-replica behaviour: under
+    pjit/GSPMD the batch mean/var reduce over the *global* batch, i.e.
+    sync-BN — a documented improvement over the reference's per-tower BN.
+    """
+
+    use_running_average: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        x = nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPSILON,
+            use_bias=True,
+            use_scale=True,
+            dtype=jnp.float32,
+            axis_name=self.axis_name,
+        )(x)
+        return x.astype(orig_dtype)
+
+
+class Conv(nn.Module):
+    """slim.conv2d equivalent: conv [+ BN] [+ activation].
+
+    With `norm=True` the bias is dropped (slim drops bias when a
+    normalizer_fn is set). Defaults mirror the reference arg scope:
+    ReLU activation, SAME padding, Xavier init
+    (ref: nets/ron_vgg_320.py:595-614).
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    norm: bool = False
+    act: Optional[Callable] = nn.relu
+    padding: str = "SAME"
+    train: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel,
+            strides=self.strides,
+            kernel_dilation=self.dilation,
+            padding=self.padding,
+            use_bias=not self.norm,
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=nn.initializers.zeros_init(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.norm:
+            x = BatchNorm(use_running_average=not self.train, name="bn")(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class ConvTranspose(nn.Module):
+    """slim.conv2d_transpose equivalent (deconv + bias + activation, no BN
+    per the reference's reverse module, ref: nets/ron_vgg_320.py:424-425)."""
+
+    features: int
+    kernel: Tuple[int, int] = (2, 2)
+    strides: Tuple[int, int] = (2, 2)
+    act: Optional[Callable] = nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=self.kernel,
+            strides=self.strides,
+            padding="SAME",
+            use_bias=True,
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=nn.initializers.zeros_init(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="deconv",
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def max_pool_2x2(x):
+    """2x2/stride-2 SAME max pool (slim.max_pool2d of the VGG blocks)."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="SAME")
+
+
+class L2Normalization(nn.Module):
+    """Channel-wise L2 normalization with learnable per-channel scale
+    (ref: nets/custom_layers.py:67-137; used by SSD block4 with init 20,
+    ref: nets/ssd_vgg_300.py:446-450)."""
+
+    scale_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(x32 * x32, axis=-1, keepdims=True) + 1e-12)
+        out = x32 / norm
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.scale_init),
+            (x.shape[-1],),
+            jnp.float32,
+        )
+        return (out * gamma).astype(orig_dtype)
+
+
+def pad2d(x, pad: Sequence[int] = (0, 0)):
+    """Symmetric spatial zero pad (ref: nets/custom_layers.py:139-164)."""
+    return jnp.pad(x, ((0, 0), (pad[0], pad[0]), (pad[1], pad[1]), (0, 0)))

@@ -1,0 +1,98 @@
+"""VGG-16 backbones (reduced-fc and heavy variants), NHWC flax modules.
+
+TPU-native re-design of the reference's slim VGG body shared by RON and SSD
+(ref: nets/ron_vgg_320.py:510-556 reduced / :434-485 heavy;
+nets/vgg.py:110-244 classification zoo). Endpoints follow the reference's
+`block1..block7` naming; blockN is recorded *before* its pool, so for a
+320x320 input: block4 = 40x40, block5 = 20x20, block6/7 = 10x10.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import Conv, max_pool_2x2
+
+
+class VGG16Backbone(nn.Module):
+    """VGG-16 feature extractor with detection-style fc6/fc7 conv heads.
+
+    variant='reduced': fc6 = 3x3 conv, dilation 3, 1024ch; fc7 = 1x1, 1024ch
+      (ref: nets/ron_vgg_320.py:548-553 — the `vgg16_reducedfc` used for the
+      published 0.7+ mAP runs).
+    variant='heavy': fc6 = 7x7 conv 4096ch; fc7 = 1x1 4096ch
+      (ref: nets/ron_vgg_320.py:478-484).
+    """
+
+    variant: str = "reduced"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        conv = lambda f, name, **kw: Conv(features=f, dtype=self.dtype, name=name, **kw)
+        end_points = {}
+
+        x = conv(64, "conv1_1")(x)
+        x = conv(64, "conv1_2")(x)
+        end_points["block1"] = x
+        x = max_pool_2x2(x)
+        x = conv(128, "conv2_1")(x)
+        x = conv(128, "conv2_2")(x)
+        end_points["block2"] = x
+        x = max_pool_2x2(x)
+        x = conv(256, "conv3_1")(x)
+        x = conv(256, "conv3_2")(x)
+        x = conv(256, "conv3_3")(x)
+        end_points["block3"] = x
+        x = max_pool_2x2(x)
+        x = conv(512, "conv4_1")(x)
+        x = conv(512, "conv4_2")(x)
+        x = conv(512, "conv4_3")(x)
+        end_points["block4"] = x
+        x = max_pool_2x2(x)
+        x = conv(512, "conv5_1")(x)
+        x = conv(512, "conv5_2")(x)
+        x = conv(512, "conv5_3")(x)
+        end_points["block5"] = x
+        x = max_pool_2x2(x)
+
+        if self.variant == "reduced":
+            x = conv(1024, "fc6", kernel=(3, 3), dilation=(3, 3))(x)
+            end_points["block6"] = x
+            x = conv(1024, "fc7", kernel=(1, 1))(x)
+        elif self.variant == "heavy":
+            x = conv(4096, "fc6", kernel=(7, 7))(x)
+            end_points["block6"] = x
+            x = conv(4096, "fc7", kernel=(1, 1))(x)
+        else:
+            raise ValueError(f"unknown VGG variant {self.variant!r}")
+        end_points["block7"] = x
+        return end_points
+
+
+class VGG16Classifier(nn.Module):
+    """VGG-16 image classifier head over the backbone — the zoo entry
+    (ref: nets/vgg.py:110-173 `vgg_16`), used for warm-start weight
+    verification like the reference's converter parity checks
+    (ref: test_tf_vgg16.py:26-133)."""
+
+    num_classes: int = 1000
+    variant: str = "reduced"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, Dict]:
+        eps = VGG16Backbone(variant=self.variant, dtype=self.dtype, name="backbone")(x)
+        x = eps["block7"]
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.glorot_uniform(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="logits",
+        )(x)
+        return x, eps

@@ -1,0 +1,20 @@
+"""Fixed-shape, vectorized detection ops (the `tf_extended` + `ssd_common`
+capability surface, re-designed for XLA)."""
+
+from . import anchors, ap, boxes, decode, encode, matching, nms, select
+from .math import abs_smooth, cummax, safe_divide, smooth_l1
+
+__all__ = [
+    "anchors",
+    "ap",
+    "boxes",
+    "decode",
+    "encode",
+    "matching",
+    "nms",
+    "select",
+    "abs_smooth",
+    "cummax",
+    "safe_divide",
+    "smooth_l1",
+]

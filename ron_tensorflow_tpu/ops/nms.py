@@ -1,0 +1,173 @@
+"""Fixed-shape greedy non-max suppression.
+
+TPU-native re-design of the reference's three `tf.while_loop` NMS variants
+(ref: tf_extended/bboxes.py:173-302 `bboxes_nms`/`bboxes_nms_batch`,
+ron_eval.py:146-366 `tf_bboxes_nms`/`tf_bboxes_nms_by_class`): score-sorted
+`top_k` + a precomputed [K, K] overlap matrix + a greedy `fori_loop` over
+candidates, all with static shapes. Supports both overlap modes of the
+reference: 'union' (IoU) and 'min' (intersection / min-area).
+
+Output contract matches the reference: results sorted by descending score,
+zero-padded to `keep_top_k` (ref: tf_extended/tensors.py `pad_axis`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def overlap_matrix(boxes: jnp.ndarray, mode: str = "union") -> jnp.ndarray:
+    """Pairwise overlap used for suppression. [K, 4] -> [K, K].
+
+    mode='union': IoU. mode='min': intersection / min(area_i, area_j)
+    (ref: tf_extended/bboxes.py:193-212 `get_scores`).
+    """
+    ymin = jnp.maximum(boxes[:, None, 0], boxes[None, :, 0])
+    xmin = jnp.maximum(boxes[:, None, 1], boxes[None, :, 1])
+    ymax = jnp.minimum(boxes[:, None, 2], boxes[None, :, 2])
+    xmax = jnp.minimum(boxes[:, None, 3], boxes[None, :, 3])
+    inter = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)
+    vol = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    if mode == "union":
+        denom = vol[:, None] + vol[None, :] - inter
+    elif mode == "min":
+        denom = jnp.minimum(vol[:, None], vol[None, :])
+    else:
+        raise ValueError(f"unknown NMS mode: {mode!r}")
+    return jnp.where(denom > 0, inter / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+
+def sort_by_score(scores: jnp.ndarray, boxes: jnp.ndarray, top_k: int):
+    """Descending score sort keeping top_k, zero-padding if fewer
+    (ref: tf_extended/bboxes.py:60-103 `bboxes_sort`)."""
+    n = scores.shape[-1]
+    k = min(top_k, n)
+    s, idx = jax.lax.top_k(scores, k)
+    b = jnp.take(boxes, idx, axis=-2)
+    if k < top_k:
+        pad = top_k - k
+        s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, pad)])
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 2) + [(0, pad), (0, 0)])
+    return s, b
+
+
+@partial(jax.jit, static_argnames=("nms_threshold", "keep_top_k", "mode"))
+def nms_sorted(
+    scores: jnp.ndarray,
+    boxes: jnp.ndarray,
+    nms_threshold: float = 0.5,
+    keep_top_k: int = 200,
+    mode: str = "min",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over score-sorted candidates.
+
+    Args:
+      scores: [K] descending scores (zero padding allowed).
+      boxes: [K, 4] corner boxes.
+      nms_threshold: suppress overlap >= threshold (the reference keeps
+        strictly-below: `nms_scores < nms_threshold` survive,
+        ref: tf_extended/bboxes.py:228).
+      keep_top_k: output size; at most this many boxes kept.
+      mode: 'union' or 'min'.
+
+    Returns:
+      (scores [keep_top_k], boxes [keep_top_k, 4]) zero-padded, score-sorted.
+    """
+    k = scores.shape[0]
+    ov = overlap_matrix(boxes, mode=mode)
+
+    def body(i, state):
+        alive, keep, kept = state
+        take = alive[i] & (kept < keep_top_k) & (scores[i] > 0)
+        keep = keep.at[i].set(take)
+        kept = kept + take.astype(jnp.int32)
+        suppress = (ov[i] >= nms_threshold) & take
+        alive = alive & ~suppress
+        return alive, keep, kept
+
+    alive0 = jnp.ones((k,), dtype=bool)
+    keep0 = jnp.zeros((k,), dtype=bool)
+    alive, keep, kept = jax.lax.fori_loop(0, k, body, (alive0, keep0, 0))
+    del alive, kept
+
+    # Compact kept rows (already in score order) into a fixed-size output.
+    pos = jnp.cumsum(keep) - 1
+    dst = jnp.where(keep & (pos < keep_top_k), pos, keep_top_k)
+    out_scores = jnp.zeros((keep_top_k,), scores.dtype).at[dst].set(scores, mode="drop")
+    out_boxes = jnp.zeros((keep_top_k, 4), boxes.dtype).at[dst].set(boxes, mode="drop")
+    return out_scores, out_boxes
+
+
+def nms(scores, boxes, nms_threshold=0.5, top_k=400, keep_top_k=200, mode="min"):
+    """Sort + greedy NMS, for unsorted inputs. [N] / [N, 4] in,
+    [keep_top_k] / [keep_top_k, 4] out."""
+    s, b = sort_by_score(scores, boxes, top_k)
+    return nms_sorted(s, b, nms_threshold, keep_top_k, mode)
+
+
+@partial(jax.jit, static_argnames=("nms_threshold", "keep_top_k", "mode"))
+def nms_with_labels(
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    nms_threshold: float = 0.5,
+    keep_top_k: int = 200,
+    mode: str = "union",
+):
+    """Whole-image (class-agnostic) NMS carrying labels through, the
+    realtime-eval variant (ref: ron_eval.py:146-210 `tf_bboxes_nms`).
+
+    Args:
+      scores: [N] per-box max class scores.
+      labels: [N] int class labels.
+      boxes: [N, 4].
+      valid: [N] bool — pre-filter (score threshold, objectness gate, size).
+
+    Returns:
+      (scores, labels, boxes, valid_out) each [keep_top_k(, 4)], score-sorted.
+    """
+    n = scores.shape[0]
+    masked = jnp.where(valid, scores, 0.0)
+    s, idx = jax.lax.top_k(masked, n)
+    l = jnp.take(labels, idx)
+    b = jnp.take(boxes, idx, axis=0)
+    v = jnp.take(valid, idx)
+
+    ov = overlap_matrix(b, mode=mode)
+
+    def body(i, state):
+        alive, keep, kept = state
+        take = alive[i] & (kept < keep_top_k) & v[i]
+        keep = keep.at[i].set(take)
+        kept = kept + take.astype(jnp.int32)
+        suppress = (ov[i] >= nms_threshold) & take
+        alive = alive & ~suppress
+        return alive, keep, kept
+
+    alive0 = jnp.ones((n,), dtype=bool)
+    keep0 = jnp.zeros((n,), dtype=bool)
+    _, keep, _ = jax.lax.fori_loop(0, n, body, (alive0, keep0, 0))
+
+    pos = jnp.cumsum(keep) - 1
+    dst = jnp.where(keep & (pos < keep_top_k), pos, keep_top_k)
+    out_s = jnp.zeros((keep_top_k,), s.dtype).at[dst].set(s, mode="drop")
+    out_l = jnp.zeros((keep_top_k,), l.dtype).at[dst].set(l, mode="drop")
+    out_b = jnp.zeros((keep_top_k, 4), b.dtype).at[dst].set(b, mode="drop")
+    out_v = jnp.zeros((keep_top_k,), bool).at[dst].set(keep, mode="drop")
+    return out_s, out_l, out_b, out_v
+
+
+def nms_per_class(scores, boxes, nms_threshold=0.5, keep_top_k=200, mode="min"):
+    """Class-wise NMS over stacked per-class tensors.
+
+    Replaces the reference's python dict-of-classes `bboxes_nms_batch`
+    (ref: tf_extended/bboxes.py:262-302) with a vmap over a leading class
+    axis: scores [C, K], boxes [C, K, 4] -> [C, keep_top_k(, 4)].
+    """
+    fn = lambda s, b: nms_sorted(s, b, nms_threshold, keep_top_k, mode)
+    return jax.vmap(fn)(scores, boxes)
