@@ -109,18 +109,24 @@ def nms(scores, boxes, nms_threshold=0.5, top_k=400, keep_top_k=200, mode="min")
     return nms_sorted(s, b, nms_threshold, keep_top_k, mode)
 
 
-@partial(jax.jit, static_argnames=("nms_threshold", "keep_top_k", "mode"))
+@partial(jax.jit, static_argnames=("nms_threshold", "top_k", "keep_top_k", "mode"))
 def nms_with_labels(
     scores: jnp.ndarray,
     labels: jnp.ndarray,
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     nms_threshold: float = 0.5,
+    top_k: int = 400,
     keep_top_k: int = 200,
     mode: str = "union",
 ):
     """Whole-image (class-agnostic) NMS carrying labels through, the
     realtime-eval variant (ref: ron_eval.py:146-210 `tf_bboxes_nms`).
+
+    Candidates are pre-reduced to the `top_k` highest valid scores so the
+    greedy loop and the overlap matrix stay [top_k]-sized regardless of the
+    anchor count (the reference's dynamic `boolean_mask` shrink, made
+    static).
 
     Args:
       scores: [N] per-box max class scores.
@@ -132,8 +138,9 @@ def nms_with_labels(
       (scores, labels, boxes, valid_out) each [keep_top_k(, 4)], score-sorted.
     """
     n = scores.shape[0]
+    k = min(top_k, n)
     masked = jnp.where(valid, scores, 0.0)
-    s, idx = jax.lax.top_k(masked, n)
+    s, idx = jax.lax.top_k(masked, k)
     l = jnp.take(labels, idx)
     b = jnp.take(boxes, idx, axis=0)
     v = jnp.take(valid, idx)
@@ -149,9 +156,9 @@ def nms_with_labels(
         alive = alive & ~suppress
         return alive, keep, kept
 
-    alive0 = jnp.ones((n,), dtype=bool)
-    keep0 = jnp.zeros((n,), dtype=bool)
-    _, keep, _ = jax.lax.fori_loop(0, n, body, (alive0, keep0, 0))
+    alive0 = jnp.ones((k,), dtype=bool)
+    keep0 = jnp.zeros((k,), dtype=bool)
+    _, keep, _ = jax.lax.fori_loop(0, k, body, (alive0, keep0, 0))
 
     pos = jnp.cumsum(keep) - 1
     dst = jnp.where(keep & (pos < keep_top_k), pos, keep_top_k)

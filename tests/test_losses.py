@@ -1,0 +1,85 @@
+"""Loss function semantics tests (synthetic logits, no model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ron_tensorflow_tpu.losses import RonLossConfig, SsdLossConfig, ron_losses, ssd_losses
+
+
+def make_inputs(rng, b=2, n=128, c=21):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    logits = jax.random.normal(ks[0], (b, n, c))
+    locs = jax.random.normal(ks[1], (b, n, 4)) * 0.1
+    obj_logits = jax.random.normal(ks[2], (b, n, 2))
+    obj_pred = jax.nn.softmax(obj_logits)[..., 1]
+    gclasses = np.zeros((b, n), np.int32)
+    gclasses[:, :5] = rng.integers(1, c, (b, 5))  # 5 positives per image
+    gclasses[:, 5:8] = -1  # ignores
+    glocs = jnp.zeros((b, n, 4))
+    return logits, locs, obj_logits, obj_pred, jnp.asarray(gclasses), glocs
+
+
+def test_ron_loss_finite_and_positive(rng):
+    inputs = make_inputs(rng)
+    total, metrics = ron_losses(jax.random.PRNGKey(1), *inputs)
+    assert np.isfinite(float(total)) and float(total) > 0
+    assert float(metrics["counts/positives"]) == 10.0
+    # all three terms present
+    assert float(metrics["loss/objectness"]) > 0
+
+
+def test_ron_loss_zero_without_positives(rng):
+    logits, locs, obj_logits, obj_pred, gclasses, glocs = make_inputs(rng)
+    gclasses = jnp.zeros_like(gclasses)  # no positives
+    total, metrics = ron_losses(
+        jax.random.PRNGKey(1), logits, locs, obj_logits, obj_pred, gclasses, glocs
+    )
+    # tf.cond(n_positives > 0) semantics: every branch 0
+    assert float(total) == 0.0
+
+
+def test_ron_loss_ignore_excluded(rng):
+    # ignores (-1) must not contribute: flipping their logits changes nothing.
+    logits, locs, obj_logits, obj_pred, gclasses, glocs = make_inputs(rng)
+    t1, _ = ron_losses(jax.random.PRNGKey(1), logits, locs, obj_logits, obj_pred, gclasses, glocs)
+    logits2 = logits.at[:, 5:8].add(100.0)
+    t2, _ = ron_losses(jax.random.PRNGKey(1), logits2, locs, obj_logits, obj_pred, gclasses, glocs)
+    assert float(t1) == pytest.approx(float(t2), rel=1e-6)
+
+
+def test_ron_loss_grad_flows(rng):
+    inputs = make_inputs(rng)
+
+    def f(logits):
+        total, _ = ron_losses(jax.random.PRNGKey(1), logits, *inputs[1:])
+        return total
+
+    g = jax.grad(f)(inputs[0])
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_ssd_loss_finite(rng):
+    logits, locs, _, _, gclasses, glocs = make_inputs(rng)
+    gscores = jnp.where(gclasses > 0, 0.8, 0.1).astype(jnp.float32)
+    total, metrics = ssd_losses(logits, locs, gclasses, glocs, gscores)
+    assert np.isfinite(float(total)) and float(total) > 0
+    assert float(metrics["counts/positives"]) == 10.0
+
+
+def test_ssd_hard_mining_selects_hardest(rng):
+    # Make one negative's background prob tiny (hard); with ratio forcing
+    # selection, loss must exceed the all-easy case.
+    b, n, c = 1, 64, 21
+    logits = jnp.zeros((b, n, c))
+    hard = logits.at[0, 10, 0].set(-10.0)  # background very unlikely => hard negative
+    locs = jnp.zeros((b, n, 4))
+    gclasses = jnp.zeros((b, n), jnp.int32).at[0, 0].set(3)
+    gscores = jnp.zeros((b, n)).at[0, 0].set(0.9)
+    glocs = jnp.zeros((b, n, 4))
+    t_easy, _ = ssd_losses(logits, locs, gclasses, glocs, gscores)
+    t_hard, _ = ssd_losses(hard, locs, gclasses, glocs, gscores)
+    assert float(t_hard) > float(t_easy)
