@@ -1,0 +1,203 @@
+"""Input pipeline: TFRecord shards -> fixed-size device batches.
+
+TPU-native replacement for the reference's slim `DatasetDataProvider` +
+shuffle queues + 24 preprocessing threads (ref: ron_net.py:222-306, D7 in
+SURVEY). Host work is IO + JPEG decode + one resize to the fixed working
+canvas; ALL augmentation runs on device as one jitted batch program
+(`preprocess.train_augment_batch`). A background thread keeps a small
+prefetch queue of ready host batches.
+
+Difficult-object handling matches the trainer: difficult GT are dropped
+unless every object is difficult, in which case all are kept
+(ref: ron_net.py:241-244).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from . import example as pb
+from .tfrecord import read_records, shard_for_worker
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    batch_size: int = 32
+    working_shape: tuple = (512, 512)  # host canvas fed to device augmentation
+    max_boxes: int = 56
+    shuffle: bool = True
+    shuffle_buffer: int = 512
+    prefetch: int = 4
+    keep_difficult: bool = False  # training drops difficult (with fallback)
+    num_workers: int = 1
+    worker_index: int = 0
+    seed: int = 0
+
+
+def decode_jpeg(data: bytes, out_hw) -> np.ndarray:
+    """JPEG -> float32 [H,W,3] in [0,1] resized to the working canvas."""
+    try:
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+        arr = cv2.resize(arr, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
+        return arr.astype(np.float32) / 255.0
+    except ImportError:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        img = img.resize((out_hw[1], out_hw[0]), Image.BILINEAR)
+        return np.asarray(img, np.float32) / 255.0
+
+
+def parse_voc_example(record: bytes) -> Dict:
+    """Serialized Example -> dict of numpy GT + raw JPEG bytes."""
+    ex = pb.decode_example(record)
+    n = len(ex.get("image/object/bbox/label", []))
+    boxes = np.zeros((n, 4), np.float32)
+    if n:
+        boxes[:, 0] = ex["image/object/bbox/ymin"]
+        boxes[:, 1] = ex["image/object/bbox/xmin"]
+        boxes[:, 2] = ex["image/object/bbox/ymax"]
+        boxes[:, 3] = ex["image/object/bbox/xmax"]
+    return {
+        "jpeg": ex["image/encoded"][0],
+        "shape": tuple(ex.get("image/shape", (0, 0, 3))),
+        "labels": np.asarray(ex.get("image/object/bbox/label", []), np.int32),
+        "boxes": boxes,
+        "difficult": np.asarray(
+            ex.get("image/object/bbox/difficult", [0] * n), np.int32
+        ),
+        "truncated": np.asarray(
+            ex.get("image/object/bbox/truncated", [0] * n), np.int32
+        ),
+    }
+
+
+def _apply_difficult_policy(sample: Dict, keep_difficult: bool) -> Dict:
+    if keep_difficult or sample["labels"].size == 0:
+        return sample
+    mask = sample["difficult"] == 0
+    if not mask.any():  # all difficult -> keep everything (ref: ron_net.py:241-244)
+        return sample
+    return {
+        **sample,
+        "labels": sample["labels"][mask],
+        "boxes": sample["boxes"][mask],
+        "difficult": sample["difficult"][mask],
+        "truncated": sample["truncated"][mask],
+    }
+
+
+def _pad_gt(sample: Dict, max_boxes: int) -> Dict:
+    n = min(sample["labels"].size, max_boxes)
+    labels = np.zeros((max_boxes,), np.int32)
+    boxes = np.zeros((max_boxes, 4), np.float32)
+    difficult = np.zeros((max_boxes,), np.int32)
+    valid = np.zeros((max_boxes,), bool)
+    labels[:n] = sample["labels"][:n]
+    boxes[:n] = sample["boxes"][:n]
+    difficult[:n] = sample["difficult"][:n]
+    valid[:n] = True
+    return {"labels": labels, "boxes": boxes, "difficult": difficult, "valid": valid}
+
+
+def iterate_samples(
+    files: List[str], config: PipelineConfig, epochs: Optional[int] = None
+) -> Iterator[Dict]:
+    """Stream decoded samples from shards (shuffled per epoch)."""
+    rng = np.random.default_rng(config.seed + config.worker_index)
+    files = shard_for_worker(files, config.num_workers, config.worker_index)
+    if not files:
+        raise ValueError("no input shards for this worker")
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = list(files)
+        if config.shuffle:
+            rng.shuffle(order)
+        buf: List[Dict] = []
+        for path in order:
+            for record in read_records(path):
+                sample = parse_voc_example(record)
+                sample = _apply_difficult_policy(sample, config.keep_difficult)
+                if config.shuffle:
+                    buf.append(sample)
+                    if len(buf) >= config.shuffle_buffer:
+                        idx = rng.integers(len(buf))
+                        buf[idx], buf[-1] = buf[-1], buf[idx]
+                        yield buf.pop()
+                else:
+                    yield sample
+        while buf:
+            idx = rng.integers(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            yield buf.pop()
+        epoch += 1
+
+
+def batch_iterator(
+    files: List[str], config: PipelineConfig, epochs: Optional[int] = None
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Fixed-size host batches: image01 [B,H0,W0,3] float, gt_labels [B,G],
+    gt_boxes [B,G,4], gt_valid [B,G], gt_difficult [B,G]."""
+    it = iterate_samples(files, config, epochs)
+    while True:
+        images, labels, boxes, valid, difficult = [], [], [], [], []
+        try:
+            for _ in range(config.batch_size):
+                s = next(it)
+                images.append(decode_jpeg(s["jpeg"], config.working_shape))
+                gt = _pad_gt(s, config.max_boxes)
+                labels.append(gt["labels"])
+                boxes.append(gt["boxes"])
+                valid.append(gt["valid"])
+                difficult.append(gt["difficult"])
+        except StopIteration:
+            return
+        yield {
+            "image01": np.stack(images),
+            "gt_labels": np.stack(labels),
+            "gt_boxes": np.stack(boxes),
+            "gt_valid": np.stack(valid),
+            "gt_difficult": np.stack(difficult),
+        }
+
+
+class PrefetchIterator:
+    """Background-thread prefetch of host batches (the queue-runner
+    replacement)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterator: Iterator, depth: int = 4):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._fill, args=(iterator,), daemon=True)
+        self._err: Optional[BaseException] = None
+        self._thread.start()
+
+    def _fill(self, iterator):
+        try:
+            for item in iterator:
+                self._q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -1,0 +1,286 @@
+"""Image preprocessing / augmentation — jit-compiled, batched, on device.
+
+TPU-native re-design of the reference's TF1 augmentation graph
+(ref: preprocessing/ssd_vgg_preprocessing.py:297-356
+`ron_preprocess_for_train`, :358-425 `preprocess_for_eval`;
+preprocessing/tf_image.py:310-438 `ssd_random_sample_patch`, :440-467
+`ssd_random_expand`, :284-308 `random_flip_left_right`). The reference runs
+per-image dynamic-shape rejection loops in 24 host threads; here the whole
+chain — random expand (p=0.5, 2x mean-color canvas), min-IoU random patch
+sampling, horizontal flip, warp-resize and VGG whitening — compiles to ONE
+fused XLA program per batch:
+
+- images are host-decoded to a fixed working canvas (default 512x512,
+  normalized boxes unchanged), so every shape is static;
+- the expand/crop/flip/resize composition is a single affine bilinear
+  gather from the working canvas with mean-color fill outside the source
+  (no intermediate canvases);
+- the reference's retry `while_loop`s become K vectorized candidate draws +
+  first-valid selection (identical acceptance rule: >=1 gt center strictly
+  inside the patch AND all center-inside boxes overlap the patch with
+  IoU >= min_iou; whole image on failure);
+- min_iou is drawn uniformly from {0.4..0.9} — the reference's multinomial
+  has 6 categories so its listed 1.0 option is never drawn
+  (ref: tf_image.py:430-434); we reproduce the effective distribution;
+- color distortion is implemented but OFF by default: the reference computes
+  it and then discards the result (`dst_image =
+  random_sample_flip_resized_image`, ref: ssd_vgg_preprocessing.py:348), so
+  parity means no color jitter; flip `color_distort=True` to enable the
+  4-ordering brightness/saturation/hue/contrast chain it intended.
+
+Ground truth rides along as fixed-size padded arrays (boxes [G,4], labels
+[G], valid [G]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# VGG means, RGB order (ref: ssd_vgg_preprocessing.py:41-44).
+VGG_MEANS = (123.0, 117.0, 104.0)
+
+
+def whiten(image01: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float image -> VGG-whitened pixels (ref: tf_image_whitened,
+    ssd_vgg_preprocessing.py:47-55 — scale x255 then subtract means)."""
+    means = jnp.asarray(VGG_MEANS, image01.dtype)
+    return image01 * 255.0 - means
+
+
+def unwhiten(image: jnp.ndarray) -> jnp.ndarray:
+    means = jnp.asarray(VGG_MEANS, image.dtype)
+    return (image + means) / 255.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    out_shape: Tuple[int, int] = (320, 320)
+    expand_prob: float = 0.5
+    expand_ratio: float = 2.0
+    patch_candidates: int = 16  # replaces the 10-attempt retry loop
+    aspect_attempts: int = 5  # ref: tf_image.py:312-331 sample_width_height
+    min_ious: Tuple[float, ...] = (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    flip_prob: float = 0.5
+    color_distort: bool = False
+
+
+def _bilinear_gather(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                     fill: jnp.ndarray) -> jnp.ndarray:
+    """Sample image [H,W,3] at normalized coords ys/xs [h,w]; fill outside."""
+    h, w = image.shape[0], image.shape[1]
+    # Pixel-center convention of tf.image.resize(align_corners=False).
+    fy = ys * h - 0.5
+    fx = xs * w - 0.5
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy = fy - y0
+    wx = fx - x0
+    y0i = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    y1i = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+    x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    x1i = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+
+    g = lambda yi, xi: image[yi, xi]
+    out = (
+        g(y0i, x0i) * ((1 - wy) * (1 - wx))[..., None]
+        + g(y0i, x1i) * ((1 - wy) * wx)[..., None]
+        + g(y1i, x0i) * (wy * (1 - wx))[..., None]
+        + g(y1i, x1i) * (wy * wx)[..., None]
+    )
+    outside = (ys < 0.0) | (ys > 1.0) | (xs < 0.0) | (xs > 1.0)
+    return jnp.where(outside[..., None], fill, out)
+
+
+def _roi_jaccard(roi: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one roi [4] with boxes [G,4] (ref: tf_image.py:333-345)."""
+    ymin = jnp.maximum(roi[0], boxes[:, 0])
+    xmin = jnp.maximum(roi[1], boxes[:, 1])
+    ymax = jnp.minimum(roi[2], boxes[:, 2])
+    xmax = jnp.minimum(roi[3], boxes[:, 3])
+    inter = jnp.maximum(ymax - ymin, 0.0) * jnp.maximum(xmax - xmin, 0.0)
+    union = (
+        (roi[2] - roi[0]) * (roi[3] - roi[1])
+        + (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        - inter
+    )
+    return jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def train_augment(
+    rng: jax.Array,
+    image01: jnp.ndarray,
+    boxes: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    config: PreprocessConfig = PreprocessConfig(),
+):
+    """Augment one image (working canvas [H0,W0,3] float [0,1]) + GT.
+
+    Returns (whitened image [out_h,out_w,3], boxes [G,4], labels [G],
+    valid [G]).
+    """
+    cfg = config
+    keys = jax.random.split(rng, 8)
+    mean_color = jnp.mean(image01, axis=(0, 1))
+
+    # ---- random expand (ref: tf_image.py:440-467) ----
+    do_expand = jax.random.uniform(keys[0]) < cfg.expand_prob
+    r = cfg.expand_ratio
+    oy = jax.random.uniform(keys[1], (), minval=0.0, maxval=r - 1.0)
+    ox = jax.random.uniform(keys[2], (), minval=0.0, maxval=r - 1.0)
+    # canvas frame: image occupies [oy/r, ox/r] .. [(oy+1)/r, (ox+1)/r]
+    offset = jnp.where(do_expand, jnp.stack([oy, ox, oy, ox]) / r, jnp.zeros(4))
+    scale = jnp.where(do_expand, 1.0 / r, 1.0)
+    boxes_c = boxes * scale + offset
+    valid_c = valid
+
+    # ---- random patch (ref: tf_image.py:310-438) ----
+    k = cfg.patch_candidates
+    min_iou = jax.random.choice(keys[3], jnp.asarray(cfg.min_ious))
+
+    # candidate sizes with aspect retry
+    wh = jax.random.uniform(
+        keys[4], (k, cfg.aspect_attempts, 2), minval=0.1, maxval=0.999
+    )
+    good = (wh[..., 0] <= 2.0 * wh[..., 1]) & (wh[..., 1] <= 2.0 * wh[..., 0])
+    # first good attempt, else last draw (reference keeps the 5th regardless)
+    first_good = jnp.argmax(good, axis=1)
+    has_good = jnp.any(good, axis=1)
+    pick = jnp.where(has_good, first_good, cfg.aspect_attempts - 1)
+    wsel = jnp.take_along_axis(wh[..., 0], pick[:, None], axis=1)[:, 0]
+    hsel = jnp.take_along_axis(wh[..., 1], pick[:, None], axis=1)[:, 0]
+    u = jax.random.uniform(keys[5], (k, 2))
+    y0 = u[:, 0] * (1.0 - hsel)
+    x0 = u[:, 1] * (1.0 - wsel)
+    rois = jnp.stack([y0, x0, y0 + hsel, x0 + wsel], axis=-1)  # [k, 4]
+
+    cy = (boxes_c[:, 0] + boxes_c[:, 2]) / 2.0
+    cx = (boxes_c[:, 1] + boxes_c[:, 3]) / 2.0
+    center_in = (
+        (cy[None, :] > rois[:, 0:1])
+        & (cx[None, :] > rois[:, 1:2])
+        & (cy[None, :] < rois[:, 2:3])
+        & (cx[None, :] < rois[:, 3:4])
+    ) & valid_c[None, :]
+    iou = jax.vmap(lambda roi: _roi_jaccard(roi, boxes_c))(rois)  # [k, G]
+    ok_overlap = jnp.all(jnp.where(center_in, iou >= min_iou, True), axis=1)
+    cand_valid = jnp.any(center_in, axis=1) & ok_overlap
+    any_valid = jnp.any(cand_valid)
+    chosen = jnp.argmax(cand_valid)  # first valid
+    roi = jnp.where(any_valid, rois[chosen], jnp.array([0.0, 0.0, 1.0, 1.0]))
+    keep = jnp.where(any_valid, center_in[chosen], valid_c)
+
+    # boxes in roi frame, clipped (ref: tf_image.py:402-427 sample_patch)
+    rh = roi[2] - roi[0]
+    rw = roi[3] - roi[1]
+    b = (boxes_c - jnp.stack([roi[0], roi[1], roi[0], roi[1]])) / jnp.stack([rh, rw, rh, rw])
+    b = jnp.clip(b, 0.0, 1.0)
+    new_valid = keep & valid_c
+
+    # ---- random flip (ref: tf_image.py:284-308) ----
+    do_flip = jax.random.uniform(keys[6]) < cfg.flip_prob
+    b = jnp.where(
+        do_flip,
+        jnp.stack([b[:, 0], 1.0 - b[:, 3], b[:, 2], 1.0 - b[:, 1]], axis=-1),
+        b,
+    )
+
+    # ---- fused warp: out pixel -> roi -> canvas -> source image coords ----
+    out_h, out_w = cfg.out_shape
+    gy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    gx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    gx = jnp.where(do_flip, 1.0 - gx, gx)
+    cy_grid = roi[0] + gy[:, None] * rh  # canvas coords [h, w]
+    cx_grid = roi[1] + gx[None, :] * rw
+    # canvas -> source image coords (invert the expand placement)
+    sy = (cy_grid - offset[0]) / scale
+    sx = (cx_grid - offset[1]) / scale
+    out = _bilinear_gather(image01, sy, sx, mean_color)
+
+    if cfg.color_distort:
+        out = distort_color(keys[7], out)
+
+    return whiten(out), b, labels, new_valid
+
+
+def train_augment_batch(rng, images01, boxes, labels, valid,
+                        config: PreprocessConfig = PreprocessConfig()):
+    """vmapped batch version: images01 [B,H0,W0,3] etc."""
+    keys = jax.random.split(rng, images01.shape[0])
+    fn = lambda k, im, b, l, v: train_augment(k, im, b, l, v, config)
+    return jax.vmap(fn)(keys, images01, boxes, labels, valid)
+
+
+@partial(jax.jit, static_argnames=("out_shape",))
+def eval_preprocess(image01: jnp.ndarray, out_shape: Tuple[int, int] = (320, 320)):
+    """Eval path: whiten + warp resize (the reference's default
+    Resize.WARP_RESIZE, ref: ssd_vgg_preprocessing.py:358-425). Returns the
+    image and the full-image reference box used to un-resize detections."""
+    img = jax.image.resize(image01, (*out_shape, image01.shape[-1]), method="bilinear")
+    bbox_img = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32)
+    return whiten(img), bbox_img
+
+
+def distort_color(rng: jax.Array, image01: jnp.ndarray) -> jnp.ndarray:
+    """4-way ordered color distortion (ref: ssd_vgg_preprocessing.py:97-166
+    `distort_color`, fast_mode=False): brightness 32/255, saturation
+    [0.5,1.5], hue ±0.2, contrast [0.5,1.5] in one of 4 orderings."""
+    ks = jax.random.split(rng, 5)
+    ordering = jax.random.randint(ks[0], (), 0, 4)
+
+    def brightness(img, key):
+        delta = jax.random.uniform(key, (), minval=-32.0 / 255.0, maxval=32.0 / 255.0)
+        return img + delta
+
+    def saturation(img, key):
+        f = jax.random.uniform(key, (), minval=0.5, maxval=1.5)
+        gray = jnp.mean(img, axis=-1, keepdims=True)
+        return gray + f * (img - gray)
+
+    def hue(img, key):
+        # Approximate hue rotation via YIQ phase shift (cheap, XLA-friendly).
+        delta = jax.random.uniform(key, (), minval=-0.2, maxval=0.2) * 2 * jnp.pi
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        i = 0.596 * r - 0.274 * g - 0.322 * b
+        q = 0.211 * r - 0.523 * g + 0.312 * b
+        cosd, sind = jnp.cos(delta), jnp.sin(delta)
+        i2 = i * cosd - q * sind
+        q2 = i * sind + q * cosd
+        return jnp.stack(
+            [
+                y + 0.956 * i2 + 0.621 * q2,
+                y - 0.272 * i2 - 0.647 * q2,
+                y - 1.106 * i2 + 1.703 * q2,
+            ],
+            axis=-1,
+        )
+
+    def contrast(img, key):
+        f = jax.random.uniform(key, (), minval=0.5, maxval=1.5)
+        mean = jnp.mean(img, axis=(0, 1), keepdims=True)
+        return mean + f * (img - mean)
+
+    orders = [
+        (brightness, saturation, hue, contrast),
+        (saturation, brightness, contrast, hue),
+        (contrast, hue, brightness, saturation),
+        (hue, saturation, contrast, brightness),
+    ]
+
+    def apply_order(fns):
+        def f(img):
+            for fn, key in zip(fns, ks[1:]):
+                img = fn(img, key)
+            return img
+
+        return f
+
+    image01 = jax.lax.switch(ordering, [apply_order(o) for o in orders], image01)
+    return jnp.clip(image01, 0.0, 1.0)

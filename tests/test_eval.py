@@ -1,0 +1,153 @@
+"""Evaluation subsystem tests: offline VOC evaluator on a synthetic
+VOCdevkit tree (golden AP values), streaming evaluator end-to-end with a
+tiny model."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ron_tensorflow_tpu.eval.voc_eval import (
+    ClassGroundTruth,
+    PascalVocEvaluator,
+    evaluate_class,
+    voc_ap,
+)
+
+
+def test_voc_ap_07_vs_12():
+    rec = np.array([0.5, 1.0])
+    prec = np.array([1.0, 0.5])
+    assert voc_ap(rec, prec, True) == pytest.approx((6 * 1.0 + 5 * 0.5) / 11.0)
+    assert voc_ap(rec, prec, False) == pytest.approx(0.75)
+
+
+def test_evaluate_class_golden():
+    gt = ClassGroundTruth()
+    gt.add_image("img1", np.array([[10, 10, 50, 50], [100, 100, 150, 150]]), np.array([0, 0]))
+    gt.add_image("img2", np.array([[20, 20, 80, 80]]), np.array([1]))  # difficult
+    dets = [
+        ("img1", 0.9, 10, 10, 50, 50),  # TP
+        ("img1", 0.8, 12, 12, 52, 52),  # duplicate -> FP
+        ("img1", 0.7, 100, 100, 150, 150),  # TP
+        ("img2", 0.6, 20, 20, 80, 80),  # difficult -> neither
+        ("img2", 0.5, 300, 300, 350, 350),  # FP
+    ]
+    rec, prec, ap = evaluate_class(dets, gt, 0.5, use_07_metric=True)
+    assert gt.npos == 2
+    np.testing.assert_allclose(rec[-1], 1.0)
+    # TP seq: 1,0,1,(difficult skip->0),0 -> cumtp [1,1,2,2,2] cumfp [0,1,1,1,2]
+    np.testing.assert_allclose(prec, [1.0, 0.5, 2 / 3, 2 / 3, 0.5])
+
+
+def test_evaluate_class_empty():
+    gt = ClassGroundTruth()
+    gt.add_image("img1", np.zeros((0, 4)), np.zeros((0,)))
+    assert evaluate_class([], gt) == (-1.0, -1.0, -1.0)
+
+
+@pytest.fixture
+def synthetic_vocdevkit(tmp_path):
+    """Minimal VOC2007 tree: 2 images, annotations, test.txt."""
+    root = tmp_path / "VOCdevkit"
+    year = root / "VOC2007"
+    (year / "Annotations").mkdir(parents=True)
+    (year / "ImageSets" / "Main").mkdir(parents=True)
+    (year / "JPEGImages").mkdir(parents=True)
+
+    def ann_xml(objs):
+        parts = ["<annotation><size><width>320</width><height>320</height><depth>3</depth></size>"]
+        for name, (x1, y1, x2, y2), diff in objs:
+            parts.append(
+                f"<object><name>{name}</name><difficult>{diff}</difficult>"
+                f"<truncated>0</truncated><bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin>"
+                f"<xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox></object>"
+            )
+        parts.append("</annotation>")
+        return "".join(parts)
+
+    (year / "Annotations" / "000001.xml").write_text(
+        ann_xml([("dog", (50, 50, 150, 150), 0), ("car", (200, 200, 300, 280), 0)])
+    )
+    (year / "Annotations" / "000002.xml").write_text(
+        ann_xml([("dog", (20, 30, 120, 160), 0)])
+    )
+    (year / "ImageSets" / "Main" / "test.txt").write_text("000001\n000002\n")
+
+    from PIL import Image
+
+    for name in ("000001", "000002"):
+        Image.new("RGB", (320, 320), (128, 128, 128)).save(
+            year / "JPEGImages" / f"{name}.jpg"
+        )
+    return str(root)
+
+
+def test_pascal_voc_evaluator_perfect(synthetic_vocdevkit):
+    ev = PascalVocEvaluator(synthetic_vocdevkit, "test")
+    # class indices: dog=12, car=7 in VOC_LABELS; all_boxes index = label
+    num_classes = 21
+    all_boxes = [[np.zeros((0, 5), np.float32)] * 2 for _ in range(num_classes)]
+    # perfect detections (0-based coords = xml-1)
+    all_boxes[12][0] = np.array([[49, 49, 149, 149, 0.95]], np.float32)
+    all_boxes[7][0] = np.array([[199, 199, 299, 279, 0.9]], np.float32)
+    all_boxes[12][1] = np.array([[19, 29, 119, 159, 0.85]], np.float32)
+    mAP, aps = ev.evaluate(all_boxes, use_07_metric=True)
+    assert aps["dog"] == pytest.approx(1.0, abs=1e-6)
+    assert aps["car"] == pytest.approx(1.0, abs=1e-6)
+    # classes without detections return -1 and are excluded from the mean
+    assert mAP == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pascal_voc_evaluator_miss(synthetic_vocdevkit):
+    ev = PascalVocEvaluator(synthetic_vocdevkit, "test")
+    all_boxes = [[np.zeros((0, 5), np.float32)] * 2 for _ in range(21)]
+    all_boxes[12][0] = np.array([[0, 0, 30, 30, 0.95]], np.float32)  # miss
+    mAP, aps = ev.evaluate(all_boxes)
+    assert aps["dog"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_results_file_roundtrip(synthetic_vocdevkit, tmp_path):
+    ev = PascalVocEvaluator(synthetic_vocdevkit, "test")
+    all_boxes = [[np.zeros((0, 5), np.float32)] * 2 for _ in range(21)]
+    all_boxes[12][0] = np.array([[49, 49, 149, 149, 0.95]], np.float32)
+    outdir = str(tmp_path / "results")
+    ev.write_results_files(all_boxes, outdir)
+    path = os.path.join(outdir, "det_test_dog.txt")
+    line = open(path).read().strip().split()
+    assert line[0] == "000001"
+    assert float(line[2]) == pytest.approx(50.0)  # 1-based
+
+
+def test_streaming_evaluator_tiny_model():
+    import jax
+    import jax.numpy as jnp
+
+    from ron_tensorflow_tpu.eval import StreamingEvaluator
+    from ron_tensorflow_tpu.inference.detector import DetectionConfig
+    from ron_tensorflow_tpu.models.ron import RON
+    from ron_tensorflow_tpu.models.testing import RON_TINY_SPEC
+
+    model = RON(spec=RON_TINY_SPEC)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    ev = StreamingEvaluator(
+        model, RON_TINY_SPEC, DetectionConfig(top_k=64, keep_top_k=16, objectness_threshold=0.0)
+    )
+
+    def batches():
+        rng = np.random.default_rng(0)
+        for _ in range(2):
+            yield {
+                "image": rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32),
+                "gt_labels": np.array([[3, 0], [7, 0]], np.int32),
+                "gt_boxes": np.array(
+                    [[[0.2, 0.2, 0.6, 0.6], [0, 0, 0, 0]],
+                     [[0.1, 0.3, 0.5, 0.9], [0, 0, 0, 0]]],
+                    np.float32,
+                ),
+                "gt_difficult": np.zeros((2, 2), np.int32),
+            }
+
+    map07, map12, aps, stats = ev.run(variables, batches(), log_every=0)
+    assert stats["images"] == 4
+    assert 0.0 <= map07 <= 1.0 and 0.0 <= map12 <= 1.0
