@@ -1,0 +1,285 @@
+"""`ron` CLI — train / eval / infer / convert-data / inspect-ckpt / bench.
+
+One typed-config CLI replaces the reference's seven flag-driven driver
+scripts (ron_net*.py, eval_ron_network.py, ron_eval.py, eval_ssd_network.py,
+tf_convert_data.py, inspect_checkpoint.py — SURVEY §1 L6). Usage:
+
+  python -m ron_tensorflow_tpu.cli train --config cfg.json data.batch_size=32
+  python -m ron_tensorflow_tpu.cli eval --model-dir ./model --dataset-dir ./records
+  python -m ron_tensorflow_tpu.cli realtime-eval --model-dir ./model --voc-root ./VOCdevkit
+  python -m ron_tensorflow_tpu.cli infer --model-dir ./model image1.jpg image2.jpg
+  python -m ron_tensorflow_tpu.cli convert-data --voc-root ./VOCdevkit/VOC2007 --output-dir ./records
+  python -m ron_tensorflow_tpu.cli inspect-ckpt --model-dir ./model
+  python -m ron_tensorflow_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def cmd_train(args):
+    from .config import TrainConfig, load_config
+    from .train.trainer import Trainer
+
+    overrides = list(args.overrides)
+    if args.model_dir:
+        overrides.append(f"model_dir={args.model_dir}")
+    if args.dataset_dir:
+        overrides.append(f"data.dataset_dir={args.dataset_dir}")
+    cfg = load_config(TrainConfig, args.config, overrides)
+    Trainer(cfg).train()
+
+
+def _restore_for_eval(model, spec, model_dir, use_ema=False):
+    import jax
+    import jax.numpy as jnp
+
+    from .train.checkpoint import CheckpointManager
+    from .train.optimizer import OptimizerConfig, make_optimizer
+    from .train.state import create_train_state
+
+    tx = make_optimizer(OptimizerConfig(learning_rate_decay_type="fixed"))
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, *spec.img_shape, 3), tx, ema=use_ema
+    )
+    mgr = CheckpointManager(model_dir)
+    state = mgr.restore(state)
+    params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+    return {"params": params, "batch_stats": state.batch_stats}, int(state.step)
+
+
+def cmd_eval(args):
+    import numpy as np
+
+    from .config import EvalConfig, load_config
+    from .data.pipeline import PipelineConfig, PrefetchIterator, batch_iterator
+    from .data.preprocess import whiten
+    from .data.tfrecord import list_shards
+    from .eval import StreamingEvaluator
+    from .inference.detector import DetectionConfig
+    from .models import get_network
+
+    cfg = load_config(EvalConfig, args.config, args.overrides)
+    model_dir = args.model_dir or cfg.model_dir
+    dataset_dir = args.dataset_dir or cfg.data.dataset_dir
+    model, spec = get_network(cfg.model)
+    variables, step = _restore_for_eval(model, spec, model_dir, cfg.use_ema)
+    print(f"[eval] restored step {step}")
+
+    files = list_shards(dataset_dir, cfg.data.file_pattern)
+    pcfg = PipelineConfig(
+        batch_size=cfg.data.batch_size,
+        working_shape=spec.img_shape,
+        max_boxes=cfg.data.max_boxes,
+        shuffle=False,
+        keep_difficult=True,
+    )
+
+    def eval_batches():
+        for hb in PrefetchIterator(batch_iterator(files, pcfg, epochs=1)):
+            yield {
+                "image": np.asarray(whiten(hb["image01"])),
+                "gt_labels": hb["gt_labels"],
+                "gt_boxes": hb["gt_boxes"],
+                "gt_difficult": hb["gt_difficult"],
+            }
+
+    ev = StreamingEvaluator(
+        model,
+        spec,
+        DetectionConfig(
+            select_threshold=cfg.select_threshold,
+            objectness_threshold=cfg.objectness_threshold,
+            top_k=cfg.select_top_k,
+            keep_top_k=cfg.keep_top_k,
+            nms_threshold=cfg.nms_threshold,
+        ),
+        cfg.matching_threshold,
+    )
+    map07, map12, aps07, stats = ev.run(variables, eval_batches(), cfg.max_batches)
+    for cls, ap in sorted(aps07.items()):
+        print(f"  AP07[class {cls:2d}] = {ap:.4f}")
+    print(f"mAP (VOC07 metric) = {map07:.4f}")
+    print(f"mAP (VOC12 metric) = {map12:.4f}")
+    print(f"eval speed: {stats['sec_per_image']:.4f} sec/image")
+
+
+def cmd_realtime_eval(args):
+    from .eval import RealtimeEvaluator
+    from .inference.detector import RealtimeConfig
+    from .models import get_network
+
+    model, spec = get_network(args.model)
+    variables, step = _restore_for_eval(model, spec, args.model_dir, args.use_ema)
+    print(f"[ron-eval] restored step {step}")
+    rt = RealtimeEvaluator(
+        model,
+        spec,
+        RealtimeConfig(objectness_threshold=args.objectness_threshold),
+    )
+    mAP, aps = rt.evaluate_voc(
+        variables,
+        args.voc_root,
+        args.set_type,
+        max_images=args.max_images,
+        output_dir=args.output_dir,
+    )
+    for cls, ap in aps.items():
+        print(f"AP for {cls} = {ap:.4f}")
+    print(f"Mean AP = {mAP:.4f}")
+
+
+def cmd_infer(args):
+    import numpy as np
+    from PIL import Image
+
+    from .data.preprocess import whiten
+    from .inference.detector import RealtimeConfig, RealtimeDetector
+    from .models import get_network
+    from .utils.visualization import save_image_with_boxes
+
+    import jax.numpy as jnp
+
+    model, spec = get_network(args.model)
+    variables, _ = _restore_for_eval(model, spec, args.model_dir, args.use_ema)
+    det = RealtimeDetector(
+        model, spec, RealtimeConfig(objectness_threshold=args.objectness_threshold)
+    )
+    for i, path in enumerate(args.images):
+        pil = Image.open(path).convert("RGB")
+        img01 = np.asarray(
+            pil.resize((spec.img_shape[1], spec.img_shape[0]), Image.BILINEAR), np.float32
+        ) / 255.0
+        scores, labels, boxes, valid = det(
+            variables, jnp.expand_dims(whiten(jnp.asarray(img01)), 0)
+        )
+        v = np.asarray(valid[0])
+        out = save_image_with_boxes(
+            img01,
+            np.asarray(boxes[0])[v],
+            np.asarray(labels[0])[v],
+            np.asarray(scores[0])[v],
+            directory=args.output_dir,
+            index=i,
+        )
+        print(f"{path}: {int(v.sum())} detections -> {out}")
+
+
+def cmd_convert_data(args):
+    from .data.convert import convert_voc
+
+    n = convert_voc(
+        args.voc_root,
+        args.output_dir,
+        args.output_name,
+        shuffle_seed=args.shuffle_seed,
+    )
+    print(f"converted {n} samples -> {args.output_dir}")
+
+
+def cmd_inspect_ckpt(args):
+    import jax
+
+    from .models import get_network
+    from .train.checkpoint import CheckpointManager, inspect_params
+    from .train.optimizer import OptimizerConfig, make_optimizer
+    from .train.state import create_train_state
+
+    model, spec = get_network(args.model)
+    tx = make_optimizer(OptimizerConfig(learning_rate_decay_type="fixed"))
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, *spec.img_shape, 3), tx)
+    mgr = CheckpointManager(args.model_dir)
+    state = mgr.restore(state)
+    print(f"step: {int(state.step)}")
+    for line in inspect_params(state.params, args.pattern):
+        print(line)
+
+
+def cmd_bench(args):
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def _set_platform(platform: str | None):
+    """Force the JAX platform BEFORE backend init. Needed because ambient
+    site customization may pin an accelerator platform regardless of
+    JAX_PLATFORMS (see .claude/skills/verify/SKILL.md)."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ron", description=__doc__)
+    p.add_argument(
+        "--platform",
+        default=None,
+        choices=("cpu", "tpu", "axon", None),
+        help="force a JAX platform (default: ambient)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a detector")
+    t.add_argument("--config", default=None)
+    t.add_argument("--model-dir", default=None)
+    t.add_argument("--dataset-dir", default=None)
+    t.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="streaming mAP eval on TFRecords")
+    e.add_argument("--config", default=None)
+    e.add_argument("--model-dir", default=None)
+    e.add_argument("--dataset-dir", default=None)
+    e.add_argument("overrides", nargs="*")
+    e.set_defaults(fn=cmd_eval)
+
+    r = sub.add_parser("realtime-eval", help="official VOCdevkit eval")
+    r.add_argument("--model", default="ron_320_vgg")
+    r.add_argument("--model-dir", required=True)
+    r.add_argument("--voc-root", required=True)
+    r.add_argument("--set-type", default="test")
+    r.add_argument("--max-images", type=int, default=None)
+    r.add_argument("--output-dir", default="./output_test")
+    r.add_argument("--objectness-threshold", type=float, default=0.95)
+    r.add_argument("--use-ema", action="store_true")
+    r.set_defaults(fn=cmd_realtime_eval)
+
+    i = sub.add_parser("infer", help="detect objects in images")
+    i.add_argument("images", nargs="+")
+    i.add_argument("--model", default="ron_320_vgg")
+    i.add_argument("--model-dir", required=True)
+    i.add_argument("--output-dir", default="./Debug")
+    i.add_argument("--objectness-threshold", type=float, default=0.95)
+    i.add_argument("--use-ema", action="store_true")
+    i.set_defaults(fn=cmd_infer)
+
+    c = sub.add_parser("convert-data", help="VOC -> TFRecord shards")
+    c.add_argument("--voc-root", required=True, help="VOCdevkit/VOC2007 style dir")
+    c.add_argument("--output-dir", required=True)
+    c.add_argument("--output-name", default="voc_2007_train")
+    c.add_argument("--shuffle-seed", type=int, default=None)
+    c.set_defaults(fn=cmd_convert_data)
+
+    k = sub.add_parser("inspect-ckpt", help="list checkpoint tensors")
+    k.add_argument("--model", default="ron_320_vgg")
+    k.add_argument("--model-dir", required=True)
+    k.add_argument("--pattern", default=None)
+    k.set_defaults(fn=cmd_inspect_ckpt)
+
+    b = sub.add_parser("bench", help="run the repo benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    _set_platform(args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

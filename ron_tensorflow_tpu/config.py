@@ -1,0 +1,156 @@
+"""Typed configuration system.
+
+Replaces the reference's ~40 duplicated `tf.app.flags` per driver
+(ref: ron_net.py:52-180, eval_ron_network.py:40-135, SURVEY §5 config
+notes) with nested dataclasses that load from JSON files and accept
+`key=value` dotted overrides. Defaults reproduce the published training
+recipe (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Sequence, Tuple
+
+from .losses.ron import RonLossConfig
+from .train.optimizer import OptimizerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset_dir: str = ""
+    dataset_name: str = "pascalvoc_2007_2012"
+    split_name: str = "train"
+    file_pattern: str = "voc_20??_train_*.tfrecord"
+    batch_size: int = 14  # ref: ron_net.py:152-153
+    working_shape: Tuple[int, int] = (512, 512)
+    max_boxes: int = 56
+    shuffle: bool = True
+    keep_difficult: bool = False
+    num_workers: int = 1
+    worker_index: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    # ref: ron_net.py:56-63 (train) / eval_ron_network.py:64-90 (eval)
+    positive_threshold: float = 0.56
+    ignore_threshold: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: str = "ron_320_vgg"
+    model_dir: str = "./model"
+    max_steps: int = 120000  # ref: README.md:34 (~120k)
+    data: DataConfig = DataConfig()
+    match: MatchConfig = MatchConfig()
+    loss: RonLossConfig = RonLossConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    seed: int = 0
+    bfloat16: bool = True
+    log_every_steps: int = 10  # ref: log_every_n_steps
+    save_every_steps: int = 2000
+    save_interval_secs: float = 7200.0  # ref: ron_net.py:415
+    max_to_keep: int = 5  # ref: ron_net.py:396
+    ema_decay: Optional[float] = None
+    # warm start (ref: ron_net.py:125-148 fine-tuning flags)
+    checkpoint_path: Optional[str] = None
+    checkpoint_format: str = "torch"  # torch | orbax
+    checkpoint_exclude_scopes: Tuple[str, ...] = ("reverse",)
+    checkpoint_model_scope: Optional[str] = None  # rename source scope
+    checkpoint_bgr_to_rgb: bool = False
+    # mesh
+    mesh_shape: Optional[Tuple[int, int]] = None  # None => (n_devices, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    model: str = "ron_320_vgg"
+    model_dir: str = "./model"
+    data: DataConfig = DataConfig(
+        dataset_name="pascalvoc_2007", split_name="test",
+        file_pattern="voc_2007_test_*.tfrecord", batch_size=8, shuffle=False,
+        keep_difficult=True,
+    )
+    match: MatchConfig = MatchConfig(positive_threshold=0.5)
+    # detection pipeline (ref: eval_ron_network.py:64-75)
+    select_threshold: float = 0.01
+    objectness_threshold: float = 0.03
+    select_top_k: int = 200
+    keep_top_k: int = 100
+    nms_threshold: float = 0.4
+    matching_threshold: float = 0.5
+    max_batches: Optional[int] = None
+    use_ema: bool = False
+
+
+def _coerce(value: str, field_type) -> Any:
+    if field_type in (int, "int", Optional[int]):
+        return int(value)
+    if field_type in (float, "float", Optional[float]):
+        return float(value)
+    if field_type in (bool, "bool"):
+        return value.lower() in ("1", "true", "yes")
+    if field_type in (str, "str", Optional[str]):
+        return value
+    try:
+        return json.loads(value)
+    except json.JSONDecodeError:
+        return value
+
+
+def apply_overrides(cfg, overrides: Sequence[str]):
+    """Apply 'a.b.c=value' overrides to a (possibly nested) frozen dataclass."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} is not key=value")
+        key, value = ov.split("=", 1)
+        parts = key.split(".")
+        cfg = _apply_one(cfg, parts, value)
+    return cfg
+
+
+def _apply_one(cfg, parts, value):
+    if len(parts) == 1:
+        fields = {f.name: f for f in dataclasses.fields(cfg)}
+        if parts[0] not in fields:
+            raise KeyError(f"unknown config field {parts[0]!r} on {type(cfg).__name__}")
+        ftype = fields[parts[0]].type
+        return dataclasses.replace(cfg, **{parts[0]: _coerce(value, ftype)})
+    child = getattr(cfg, parts[0])
+    return dataclasses.replace(cfg, **{parts[0]: _apply_one(child, parts[1:], value)})
+
+
+def load_config(cls, path: Optional[str] = None, overrides: Sequence[str] = ()):
+    """Build a config from an optional JSON file + dotted overrides."""
+    cfg = cls()
+    if path:
+        with open(path) as f:
+            data = json.load(f)
+        cfg = _from_dict(cls, data)
+    return apply_overrides(cfg, overrides)
+
+
+def _from_dict(cls, data: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.default) and isinstance(v, dict):
+            kwargs[f.name] = _from_dict(type(f.default), v)
+        else:
+            kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+    return cls(**kwargs)
+
+
+def config_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def print_config(cfg, stream=None) -> None:
+    """Console + file config dump (ref: tf_utils.print_configuration:61-89)."""
+    text = json.dumps(config_to_dict(cfg), indent=2, default=str)
+    print(text, file=stream)

@@ -23,11 +23,18 @@ def get_network(name: str):
         spec = ssd.SSD_300_SPEC if which == 300 else ssd.SSD_512_SPEC
         return ssd.SSD(spec=spec), spec
 
+    def _tiny():
+        from .testing import RON_TINY_SPEC
+
+        return RON(spec=RON_TINY_SPEC), RON_TINY_SPEC
+
     registry = {
         "ron_320_vgg": lambda: (RON(spec=RON_320_SPEC, backbone_variant="reduced"), RON_320_SPEC),
         "ron_320_vgg_heavy": lambda: (RON(spec=RON_320_SPEC, backbone_variant="heavy"), RON_320_SPEC),
         "ssd_300_vgg": lambda: _ssd(300),
         "ssd_512_vgg": lambda: _ssd(512),
+        # 64x64 smoke-test model (same topology, tiny grids)
+        "ron_tiny_vgg": _tiny,
     }
     if name not in registry:
         raise ValueError(f"unknown network {name!r}; options: {sorted(registry)}")

@@ -46,6 +46,10 @@ class DetectorSpec:
     anchor_steps: Tuple[float, ...]
     anchor_offset: float = 0.5
     prior_scaling: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    anchor_style: str = "ron"  # 'ron' (sizes x ratios) | 'ssd' (sizes[0]+ratios)
+    # Per-layer L2-normalization scale init; <=0 disables (SSD block4 uses 20,
+    # ref: nets/ssd_vgg_300.py:122 normalizations).
+    normalizations: Tuple[float, ...] = ()
 
     @functools.lru_cache(maxsize=None)
     def anchor_layout(self) -> AnchorLayout:
@@ -57,9 +61,12 @@ class DetectorSpec:
             self.anchor_steps,
             self.allowed_borders,
             self.anchor_offset,
+            self.anchor_style,
         )
 
     def num_anchors_per_cell(self, layer_idx: int) -> int:
+        if self.anchor_style == "ssd":
+            return len(self.anchor_sizes[layer_idx]) + len(self.anchor_ratios[layer_idx])
         return len(self.anchor_sizes[layer_idx]) * len(self.anchor_ratios[layer_idx])
 
 

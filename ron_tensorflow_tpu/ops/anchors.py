@@ -74,6 +74,29 @@ def anchor_heights_widths(
     return h, w
 
 
+def ssd_anchor_heights_widths(
+    img_shape: Tuple[int, int], sizes: Sequence[float], ratios: Sequence[float]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """SSD-style per-cell anchors (ref: nets/ssd_vgg_300.py:344-359):
+    anchor 0 = square sizes[0]; anchor 1 = square sqrt(sizes[0]*sizes[1]);
+    then one anchor per ratio applied to sizes[0]. num = len(sizes)+len(ratios).
+    """
+    num = len(sizes) + len(ratios)
+    h = np.zeros((num,), dtype=np.float32)
+    w = np.zeros((num,), dtype=np.float32)
+    h[0] = sizes[0] / img_shape[0]
+    w[0] = sizes[0] / img_shape[1]
+    di = 1
+    if len(sizes) > 1:
+        h[1] = math.sqrt(sizes[0] * sizes[1]) / img_shape[0]
+        w[1] = math.sqrt(sizes[0] * sizes[1]) / img_shape[1]
+        di += 1
+    for i, r in enumerate(ratios):
+        h[i + di] = sizes[0] / img_shape[0] / math.sqrt(r)
+        w[i + di] = sizes[0] / img_shape[1] * math.sqrt(r)
+    return h, w
+
+
 def anchors_one_layer(
     img_shape: Tuple[int, int],
     feat_shape: Tuple[int, int],
@@ -81,17 +104,24 @@ def anchors_one_layer(
     ratios: Sequence[float],
     step: float,
     offset: float = 0.5,
+    style: str = "ron",
 ):
     """Anchor grid for one layer, in the reference's (y, x, h, w) form:
     y, x: [H, W, 1]; h, w: [A]. Centers are `((idx + offset) * step) / img`
-    (ref: nets/ron_vgg_320.py:316-320).
+    (ref: nets/ron_vgg_320.py:316-320). `style` picks the per-cell anchor
+    family: 'ron' (sizes x ratios grid) or 'ssd' (sizes[0]-based + ratios).
     """
     y, x = np.mgrid[0 : feat_shape[0], 0 : feat_shape[1]]
     y = ((y.astype(np.float32) + offset) * step) / img_shape[0]
     x = ((x.astype(np.float32) + offset) * step) / img_shape[1]
     y = y[..., None]
     x = x[..., None]
-    h, w = anchor_heights_widths(img_shape, sizes, ratios)
+    if style == "ron":
+        h, w = anchor_heights_widths(img_shape, sizes, ratios)
+    elif style == "ssd":
+        h, w = ssd_anchor_heights_widths(img_shape, sizes, ratios)
+    else:
+        raise ValueError(f"unknown anchor style {style!r}")
     return y, x, h, w
 
 
@@ -103,6 +133,7 @@ def build_anchor_layout(
     anchor_steps: Sequence[float],
     allowed_borders: Sequence[float],
     offset: float = 0.5,
+    style: str = "ron",
 ) -> AnchorLayout:
     """Build the joint flat anchor layout for all layers.
 
@@ -114,7 +145,7 @@ def build_anchor_layout(
     layer_shapes = []
     for i, feat_shape in enumerate(feat_shapes):
         y, x, h, w = anchors_one_layer(
-            img_shape, feat_shape, anchor_sizes[i], anchor_ratios[i], anchor_steps[i], offset
+            img_shape, feat_shape, anchor_sizes[i], anchor_ratios[i], anchor_steps[i], offset, style
         )
         a = h.shape[0]
         hh, ww = feat_shape

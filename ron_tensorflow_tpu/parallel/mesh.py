@@ -38,9 +38,11 @@ def make_mesh(
     n = len(devices)
     if shape is None:
         shape = (n, 1)
-    if shape[0] * shape[1] != n:
-        raise ValueError(f"mesh shape {shape} != {n} devices")
-    arr = np.asarray(devices).reshape(shape)
+    shape = tuple(shape)
+    need = shape[0] * shape[1]
+    if need > n:
+        raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
+    arr = np.asarray(devices[:need]).reshape(shape)
     return Mesh(arr, axis_names)
 
 

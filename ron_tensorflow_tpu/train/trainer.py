@@ -1,0 +1,221 @@
+"""The training driver — config in, trained checkpoints out.
+
+TPU-native replacement for ALL FOUR reference trainers (ron_net.py,
+ron_net_multi_gpu.py, ron_net_multi_gpu_optimized.py,
+ron_net_multi_gpu_replica.py — SURVEY §2.3): one code path that shards the
+same fused step (device augmentation + GT encoding + forward + loss +
+backward + update) over a (data, model) mesh. Features:
+
+- warm-start from torch/orbax checkpoints with scope exclude/rename,
+  auto-skipped when the model dir already has a checkpoint
+  (ref: tf_utils.py:186-244);
+- periodic + time-based checkpointing with keep-N retention
+  (ref: ron_net.py:395-418);
+- JSONL scalar metrics + rolling images/sec console logging;
+- NaN guard on the loss (the tfdbg has_inf_or_nan equivalent,
+  ref: ron_net.py:399-402).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig, print_config
+from ..data.pipeline import PipelineConfig, PrefetchIterator, batch_iterator
+from ..data.preprocess import PreprocessConfig, train_augment_batch
+from ..data.tfrecord import list_shards
+from ..models import get_network
+from ..ops.encode import TargetEncoder
+from ..parallel import make_mesh, partition_batch, partition_params
+from ..utils.summaries import MetricsWriter
+from ..utils.profiling import StepTimer
+from .checkpoint import (
+    CheckpointManager,
+    load_torch_checkpoint,
+    torch_vgg_to_flat,
+    warm_start_params,
+)
+from .optimizer import make_optimizer
+from .state import TrainState, create_train_state, make_train_step
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig):
+        self.config = config
+        self.model, self.spec = get_network(config.model)
+        if config.bfloat16:
+            self.model = self.model.replace(dtype=jnp.bfloat16)
+        self.encoder = TargetEncoder(
+            self.spec.anchor_layout(),
+            self.spec.img_shape,
+            config.match.positive_threshold,
+            config.match.ignore_threshold,
+            self.spec.prior_scaling,
+        )
+        self.tx = make_optimizer(config.optimizer)
+        self.preprocess_config = PreprocessConfig(out_shape=self.spec.img_shape)
+
+        # One fused step: augmentation -> encoding -> fwd/bwd -> update.
+        base_step = make_train_step(
+            self.model, self.encoder, self.tx, config.loss, config.ema_decay
+        )
+
+        def full_step(state: TrainState, host_batch: Dict, rng: jax.Array):
+            k_aug, k_loss = jax.random.split(rng)
+            image, boxes, labels, valid = train_augment_batch(
+                k_aug,
+                host_batch["image01"],
+                host_batch["gt_boxes"],
+                host_batch["gt_labels"],
+                host_batch["gt_valid"],
+                self.preprocess_config,
+            )
+            batch = {
+                "image": image,
+                "gt_labels": labels,
+                "gt_boxes": boxes,
+                "gt_valid": valid,
+            }
+            return base_step(state, batch, k_loss)
+
+        self._full_step = full_step
+        self._ckpt = CheckpointManager(
+            config.model_dir, max_to_keep=config.max_to_keep
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self) -> TrainState:
+        cfg = self.config
+        input_shape = (cfg.data.batch_size, *self.spec.img_shape, 3)
+        state = create_train_state(
+            self.model,
+            jax.random.PRNGKey(cfg.seed),
+            input_shape,
+            self.tx,
+            ema=cfg.ema_decay is not None,
+        )
+        if self._ckpt.has_checkpoint():
+            # auto-resume (ref: tf_utils.py:198-203)
+            state = self._ckpt.restore(state)
+            print(f"[trainer] resumed from step {int(state.step)}")
+            return state
+        if cfg.checkpoint_path:
+            state = state.replace(params=self._warm_start(state.params))
+        return state
+
+    def _warm_start(self, params):
+        cfg = self.config
+        if cfg.checkpoint_format == "torch":
+            sd = load_torch_checkpoint(cfg.checkpoint_path)
+            flat = torch_vgg_to_flat(sd, bgr_to_rgb=cfg.checkpoint_bgr_to_rgb)
+        else:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(cfg.checkpoint_path)
+            from .checkpoint import flatten_params
+
+            flat = flatten_params(restored)
+        rename = (
+            {"backbone": cfg.checkpoint_model_scope}
+            if cfg.checkpoint_model_scope
+            else None
+        )
+        return warm_start_params(
+            params,
+            flat,
+            exclude_scopes=cfg.checkpoint_exclude_scopes,
+            rename_map=rename,
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def make_batches(self, epochs=None) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.config
+        files = list_shards(cfg.data.dataset_dir, cfg.data.file_pattern)
+        if not files:
+            raise FileNotFoundError(
+                f"no shards matching {cfg.data.file_pattern!r} in {cfg.data.dataset_dir!r}"
+            )
+        pcfg = PipelineConfig(
+            batch_size=cfg.data.batch_size,
+            working_shape=cfg.data.working_shape,
+            max_boxes=cfg.data.max_boxes,
+            shuffle=cfg.data.shuffle,
+            keep_difficult=cfg.data.keep_difficult,
+            num_workers=cfg.data.num_workers,
+            worker_index=cfg.data.worker_index,
+            seed=cfg.seed,
+        )
+        return PrefetchIterator(batch_iterator(files, pcfg, epochs=epochs))
+
+    def train(self, max_steps: Optional[int] = None, batches=None) -> TrainState:
+        cfg = self.config
+        max_steps = max_steps or cfg.max_steps
+        print_config(cfg)
+
+        mesh = make_mesh(cfg.mesh_shape)
+        state = self.init_state()
+
+        state_shardings = state.replace(
+            step=NamedSharding(mesh, P()),
+            params=partition_params(state.params, mesh),
+            batch_stats=jax.tree.map(lambda _: NamedSharding(mesh, P()), state.batch_stats),
+            opt_state=jax.tree.map(lambda _: NamedSharding(mesh, P()), state.opt_state),
+            ema_params=(
+                jax.tree.map(lambda _: NamedSharding(mesh, P()), state.ema_params)
+                if state.ema_params is not None
+                else None
+            ),
+        )
+        state = jax.device_put(state, state_shardings)
+        step_fn = jax.jit(self._full_step, in_shardings=(state_shardings, None, None))
+
+        writer = MetricsWriter(cfg.model_dir)
+        timer = StepTimer()
+        last_save_time = time.time()
+        it = batches if batches is not None else self.make_batches()
+
+        step = int(state.step)
+        while step < max_steps:
+            try:
+                host_batch = next(it)
+            except StopIteration:
+                print("[trainer] input exhausted")
+                break
+            batch = {
+                "image01": jnp.asarray(host_batch["image01"]),
+                "gt_boxes": jnp.asarray(host_batch["gt_boxes"]),
+                "gt_labels": jnp.asarray(host_batch["gt_labels"]),
+                "gt_valid": jnp.asarray(host_batch["gt_valid"]),
+            }
+            batch = jax.device_put(batch, partition_batch(batch, mesh))
+            rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step)
+            state, metrics = step_fn(state, batch, rng)
+            timer.tick()
+            step += 1
+
+            if cfg.log_every_steps and step % cfg.log_every_steps == 0:
+                loss = float(metrics["loss/total"])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(f"non-finite loss at step {step}: {loss}")
+                writer.write(step, {k: float(v) for k, v in metrics.items()})
+                print(
+                    f"[trainer] step {step} loss {loss:.4f} "
+                    f"({timer.images_per_sec(cfg.data.batch_size):.1f} img/s)"
+                )
+
+            time_due = time.time() - last_save_time > cfg.save_interval_secs
+            if step % cfg.save_every_steps == 0 or time_due or step >= max_steps:
+                self._ckpt.save(step, jax.device_get(state))
+                last_save_time = time.time()
+
+        self._ckpt.wait()
+        writer.close()
+        return state

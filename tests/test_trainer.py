@@ -1,0 +1,96 @@
+"""Trainer driver integration test: tiny model, synthetic shards, real
+Trainer path (pipeline + device augmentation + checkpointing + resume)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from ron_tensorflow_tpu.data.tfrecord import TFRecordWriter
+from ron_tensorflow_tpu.data.convert import encode_voc_example
+from ron_tensorflow_tpu.data.voc import VocAnnotation, VocObject
+
+
+def write_shards(tmp_path, n=8):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "voc_2007_train_000.tfrecord")
+    with TFRecordWriter(path) as w:
+        for i in range(n):
+            arr = rng.integers(0, 255, (96, 128, 3), np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            ann = VocAnnotation(
+                shape=(96, 128, 3),
+                objects=[
+                    VocObject(1 + i % 20, "x", (0.2, 0.2, 0.7, 0.7), 0, 0),
+                ],
+            )
+            w.write(encode_voc_example(buf.getvalue(), ann))
+    return str(tmp_path)
+
+
+@pytest.fixture
+def tiny_train_config(tmp_path, monkeypatch):
+    # register the tiny spec under a model name
+    import ron_tensorflow_tpu.models as models
+    from ron_tensorflow_tpu.models.ron import RON
+    from ron_tensorflow_tpu.models.testing import RON_TINY_SPEC
+
+    orig = models.get_network
+
+    def patched(name):
+        if name == "ron_tiny":
+            return RON(spec=RON_TINY_SPEC), RON_TINY_SPEC
+        return orig(name)
+
+    monkeypatch.setattr(models, "get_network", patched)
+    monkeypatch.setattr("ron_tensorflow_tpu.train.trainer.get_network", patched)
+
+    from ron_tensorflow_tpu.config import TrainConfig, apply_overrides
+
+    data_dir = write_shards(tmp_path)
+    cfg = apply_overrides(
+        TrainConfig(),
+        [
+            "model=ron_tiny",
+            f"model_dir={tmp_path}/model",
+            f"data.dataset_dir={data_dir}",
+            "data.file_pattern=voc_2007_train_*.tfrecord",
+            "data.batch_size=4",
+            "data.max_boxes=8",
+            "bfloat16=false",
+            "max_steps=4",
+            "log_every_steps=2",
+            "save_every_steps=4",
+            "optimizer.learning_rate=0.001",
+            "optimizer.learning_rate_decay_type=fixed",
+            "mesh_shape=[4, 1]",
+        ],
+    )
+    # working canvas small for speed
+    from dataclasses import replace
+
+    cfg = replace(cfg, data=replace(cfg.data, working_shape=(128, 128)))
+    return cfg
+
+
+def test_trainer_end_to_end_and_resume(tiny_train_config):
+    from ron_tensorflow_tpu.train.trainer import Trainer
+
+    t = Trainer(tiny_train_config)
+    state = t.train()
+    assert int(state.step) == 4
+    # metrics written
+    assert os.path.exists(os.path.join(tiny_train_config.model_dir, "metrics.jsonl"))
+    # checkpoint written
+    assert t._ckpt.latest_step() == 4
+
+    # Resume: new Trainer restores step 4 and continues to 6.
+    from dataclasses import replace
+
+    t2 = Trainer(replace(tiny_train_config, max_steps=6))
+    state2 = t2.train()
+    assert int(state2.step) == 6
