@@ -43,6 +43,12 @@ class DetectionConfig:
     nms_threshold: float = 0.4
     nms_mode: str = "min"
     min_size: float = 0.03
+    # TPU speed knobs (exact reference semantics when False/'loop'):
+    # approx_top_k uses lax.approx_max_k for candidate selection (~2x faster
+    # postproc, >=95% candidate recall); fixpoint NMS is bit-exact vs the
+    # sequential greedy loop but runs in O(chain-depth) MXU iterations.
+    approx_top_k: bool = True
+    nms_method: str = "fixpoint"  # 'fixpoint' | 'loop'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,28 +83,40 @@ class Detector:
     def postprocess(self, out):
         cfg = self.config
         decoded = decode_boxes(out.locations, self._anchors, self.spec.prior_scaling)
+        decoded = boxops.clip_to_ref(decoded)  # [B, N, 4], shared by all classes
 
         # Binary objectness gate on class probabilities
         # (ref: eval_ron_network.py:228-229).
-        gate = (out.objness_pred > cfg.objectness_threshold).astype(
-            out.predictions.dtype
+        gate = out.objness_pred > cfg.objectness_threshold  # [B, N]
+        size_ok = boxops.min_size_mask(decoded, cfg.min_size)  # [B, N]
+
+        # Per-class scores [B, C-1, N]; masked entries zeroed. Boxes are NOT
+        # materialized per class — they're gathered after top-k, avoiding the
+        # reference's per-class box dict (a [B, C, N, 4] tensor at scale).
+        scores = jnp.moveaxis(out.predictions[..., 1:], -1, -2)
+        keep = (gate & size_ok)[:, None, :] & (scores > cfg.select_threshold)
+        scores = jnp.where(keep, scores, 0.0)
+
+        k = min(cfg.top_k, scores.shape[-1])
+        if cfg.approx_top_k and k < scores.shape[-1]:
+            top_scores, top_idx = jax.lax.approx_max_k(scores, k)
+        else:
+            top_scores, top_idx = jax.lax.top_k(scores, k)  # [B, C-1, k]
+        top_boxes = jnp.take_along_axis(
+            decoded[:, None, :, :], top_idx[..., None], axis=2
+        )  # [B, C-1, k, 4]
+        if k < cfg.top_k:
+            pad = cfg.top_k - k
+            top_scores = jnp.pad(top_scores, ((0, 0), (0, 0), (0, pad)))
+            top_boxes = jnp.pad(top_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+        nms_core = (
+            nmsops.nms_sorted_fixpoint if cfg.nms_method == "fixpoint" else nmsops.nms_sorted
         )
-        predictions = out.predictions * gate[..., None]
-
-        def per_image(preds, dec):
-            scores, b = select_per_class(preds, dec, cfg.select_threshold)
-            b = boxops.clip_to_ref(b)
-            # min-size filter zeroes scores (fixed-shape analogue of
-            # boolean_mask + pad, ref: nets/ron_vgg_320.py:196-233)
-            scores = scores * boxops.min_size_mask(b, cfg.min_size).astype(scores.dtype)
-            s_sorted, b_sorted = jax.vmap(lambda s, bb: nmsops.sort_by_score(s, bb, cfg.top_k))(
-                scores, b
-            )
-            return nmsops.nms_per_class(
-                s_sorted, b_sorted, cfg.nms_threshold, cfg.keep_top_k, cfg.nms_mode
-            )
-
-        return jax.vmap(per_image)(predictions, decoded)
+        nms_fn = lambda s, b: nms_core(
+            s, b, cfg.nms_threshold, cfg.keep_top_k, cfg.nms_mode
+        )
+        return jax.vmap(jax.vmap(nms_fn))(top_scores, top_boxes)
 
 
 class RealtimeDetector:

@@ -39,17 +39,41 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
-        x = nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPSILON,
-            use_bias=True,
-            use_scale=True,
-            dtype=jnp.float32,
-            axis_name=self.axis_name,
-        )(x)
-        return x.astype(orig_dtype)
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+
+        if self.use_running_average or self.is_initializing():
+            # Inference: one fused scale/shift in the activation dtype so XLA
+            # keeps the conv->BN->ReLU chain in bf16 (an f32 round-trip here
+            # splits the fusion and doubles HBM traffic).
+            s = scale / jnp.sqrt(ra_var.value + BN_EPSILON)
+            b = bias - ra_mean.value * s
+            return x * s.astype(orig_dtype) + b.astype(orig_dtype)
+
+        # Training: f32 statistics. Under pjit/GSPMD the reduction spans the
+        # global batch (sync-BN); with an explicit axis_name (shard_map),
+        # pmean across it.
+        x32 = x.astype(jnp.float32)
+        axes = tuple(range(x32.ndim - 1))
+        mean = jnp.mean(x32, axes)
+        mean2 = jnp.mean(x32 * x32, axes)
+        if self.axis_name is not None:
+            import jax
+
+            mean = jax.lax.pmean(mean, self.axis_name)
+            mean2 = jax.lax.pmean(mean2, self.axis_name)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        ra_mean.value = BN_MOMENTUM * ra_mean.value + (1.0 - BN_MOMENTUM) * mean
+        ra_var.value = BN_MOMENTUM * ra_var.value + (1.0 - BN_MOMENTUM) * var
+        y = (x32 - mean) / jnp.sqrt(var + BN_EPSILON) * scale + bias
+        return y.astype(orig_dtype)
 
 
 class Conv(nn.Module):
@@ -95,7 +119,15 @@ class Conv(nn.Module):
 
 class ConvTranspose(nn.Module):
     """slim.conv2d_transpose equivalent (deconv + bias + activation, no BN
-    per the reference's reverse module, ref: nets/ron_vgg_320.py:424-425)."""
+    per the reference's reverse module, ref: nets/ron_vgg_320.py:424-425).
+
+    For the 2x2/stride-2 case (the only one RON uses) the transposed conv is
+    lowered MXU-natively as one [C, 4*O] matmul + pixel-shuffle interleave —
+    each output pixel (2y+dy, 2x+dx) is exactly W[dy, dx] @ in[y, x] —
+    instead of XLA's input-dilated convolution, which wastes 3/4 of its MACs
+    on inserted zeros. Parameters stay in the standard flax ConvTranspose
+    [kh, kw, in, out] layout so checkpoints are interchangeable.
+    """
 
     features: int
     kernel: Tuple[int, int] = (2, 2)
@@ -105,21 +137,44 @@ class ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.ConvTranspose(
-            features=self.features,
-            kernel_size=self.kernel,
-            strides=self.strides,
-            padding="SAME",
-            use_bias=True,
-            kernel_init=nn.initializers.glorot_uniform(),
-            bias_init=nn.initializers.zeros_init(),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="deconv",
-        )(x)
+        if self.kernel == (2, 2) and self.strides == (2, 2):
+            b, h, w, c = x.shape
+            kernel = self.param(
+                "deconv_kernel",
+                nn.initializers.glorot_uniform(),
+                (2, 2, c, self.features),
+                jnp.float32,
+            )
+            bias = self.param(
+                "deconv_bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+            )
+            # Flip taps so the stored [2,2,in,out] kernel is numerically
+            # identical to flax ConvTranspose's convention (verified exact).
+            kmat = (
+                kernel.astype(self.dtype)[::-1, ::-1]
+                .transpose(2, 0, 1, 3)
+                .reshape(c, 4 * self.features)
+            )
+            y = x @ kmat  # [B, H, W, 4*O] — one big MXU matmul
+            y = y.reshape(b, h, w, 2, 2, self.features)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, self.features)
+            y = y + bias.astype(self.dtype)
+        else:
+            y = nn.ConvTranspose(
+                features=self.features,
+                kernel_size=self.kernel,
+                strides=self.strides,
+                padding="SAME",
+                use_bias=True,
+                kernel_init=nn.initializers.glorot_uniform(),
+                bias_init=nn.initializers.zeros_init(),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="deconv",
+            )(x)
         if self.act is not None:
-            x = self.act(x)
-        return x
+            y = self.act(y)
+        return y
 
 
 def max_pool_2x2(x):

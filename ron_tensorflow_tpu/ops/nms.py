@@ -102,6 +102,54 @@ def nms_sorted(
     return out_scores, out_boxes
 
 
+@partial(jax.jit, static_argnames=("nms_threshold", "keep_top_k", "mode"))
+def nms_sorted_fixpoint(
+    scores: jnp.ndarray,
+    boxes: jnp.ndarray,
+    nms_threshold: float = 0.5,
+    keep_top_k: int = 200,
+    mode: str = "min",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS via suppression fixpoint — EXACTLY the same keep set as
+    `nms_sorted`, but O(chain-depth) iterations of an MXU-friendly [K, K]
+    mat-vec instead of K sequential steps.
+
+    The greedy recurrence keep[j] = valid[j] & no kept i<j with
+    overlap(i, j) >= t is iterated from keep0 = valid until fixpoint; after
+    n iterations the first n suppression levels are settled, so convergence
+    takes at most the suppression-chain depth (typically < 16 for detection
+    boxes), checked exactly with a while_loop.
+    """
+    k = scores.shape[0]
+    ov = overlap_matrix(boxes, mode=mode)
+    valid = scores > 0
+    upper = jnp.triu(jnp.ones((k, k), bool), 1)  # i < j (i suppresses j)
+    sup = (ov >= nms_threshold) & upper
+
+    supf = sup.astype(jnp.float32)
+
+    def cond(c):
+        keep, prev, it = c
+        return jnp.any(keep != prev) & (it < k)
+
+    def body(c):
+        keep, _, it = c
+        suppressed = (keep.astype(jnp.float32) @ supf) > 0.0
+        return valid & ~suppressed, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, ~keep0, 0))
+
+    # Cap at keep_top_k and compact (see nms_sorted): output sets match the
+    # sequential loop because candidates are score-ordered.
+    pos = jnp.cumsum(keep) - 1
+    keep = keep & (pos < keep_top_k)
+    dst = jnp.where(keep, pos, keep_top_k)
+    out_scores = jnp.zeros((keep_top_k,), scores.dtype).at[dst].set(scores, mode="drop")
+    out_boxes = jnp.zeros((keep_top_k, 4), boxes.dtype).at[dst].set(boxes, mode="drop")
+    return out_scores, out_boxes
+
+
 def nms(scores, boxes, nms_threshold=0.5, top_k=400, keep_top_k=200, mode="min"):
     """Sort + greedy NMS, for unsorted inputs. [N] / [N, 4] in,
     [keep_top_k] / [keep_top_k, 4] out."""

@@ -11,15 +11,25 @@ from ron_tensorflow_tpu.inference import DetectionConfig, Detector
 from ron_tensorflow_tpu.models.ron import RON, RON_320_SPEC
 
 
+def _fetch_barrier(out):
+    """True timing barrier: a device->host fetch of one element. Through the
+    axon relay, block_until_ready can ack before compute completes."""
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[0])
+
+
 def timeit(fn, *args, iters=20, warmup=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_barrier(out)
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _fetch_barrier(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch_barrier(out)
     return (time.perf_counter() - t0) / iters
 
 
