@@ -73,6 +73,41 @@ class VGG16Backbone(nn.Module):
         return end_points
 
 
+class VGGBackbone(nn.Module):
+    """Generic VGG family backbone — the classification zoo entries the
+    reference registers (vgg_a / vgg_16 / vgg_19, ref: nets/vgg.py:49-244,
+    nets/nets_factory.py:34-42). Conv counts per block:
+    vgg_a (VGG-11): (1, 1, 2, 2, 2); vgg_16: (2, 2, 3, 3, 3);
+    vgg_19: (2, 2, 4, 4, 4)."""
+
+    depth: str = "vgg_16"
+    fc_variant: str = "reduced"  # 'reduced' | 'heavy'
+    dtype: Any = jnp.float32
+
+    _COUNTS = {"vgg_a": (1, 1, 2, 2, 2), "vgg_16": (2, 2, 3, 3, 3), "vgg_19": (2, 2, 4, 4, 4)}
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        counts = self._COUNTS[self.depth]
+        widths = (64, 128, 256, 512, 512)
+        end_points = {}
+        for blk, (n, f) in enumerate(zip(counts, widths), start=1):
+            for ci in range(n):
+                x = Conv(f, dtype=self.dtype, name=f"conv{blk}_{ci + 1}")(x)
+            end_points[f"block{blk}"] = x
+            x = max_pool_2x2(x)
+        if self.fc_variant == "reduced":
+            x = Conv(1024, kernel=(3, 3), dilation=(3, 3), dtype=self.dtype, name="fc6")(x)
+            end_points["block6"] = x
+            x = Conv(1024, kernel=(1, 1), dtype=self.dtype, name="fc7")(x)
+        else:
+            x = Conv(4096, kernel=(7, 7), dtype=self.dtype, name="fc6")(x)
+            end_points["block6"] = x
+            x = Conv(4096, kernel=(1, 1), dtype=self.dtype, name="fc7")(x)
+        end_points["block7"] = x
+        return end_points
+
+
 class VGG16Classifier(nn.Module):
     """VGG-16 image classifier head over the backbone — the zoo entry
     (ref: nets/vgg.py:110-173 `vgg_16`), used for warm-start weight

@@ -49,11 +49,41 @@ def create_train_state(
     )
 
 
+def detection_loss_fn(loss_config) -> Callable:
+    """(rng, outputs, targets) -> (loss, metrics) for the config's family:
+    RonLossConfig -> ron_losses; SsdLossConfig -> ssd_losses."""
+    from ..losses.ssd import SsdLossConfig, ssd_losses
+
+    if isinstance(loss_config, SsdLossConfig):
+        def fn(rng, out, targets):
+            del rng
+            return ssd_losses(
+                out.logits, out.locations, targets.labels, targets.locations,
+                targets.scores, loss_config,
+            )
+
+        return fn
+
+    def fn(rng, out, targets):
+        return ron_losses(
+            rng,
+            out.logits,
+            out.locations,
+            out.objness_logits,
+            out.objness_pred,
+            targets.labels,
+            targets.locations,
+            loss_config,
+        )
+
+    return fn
+
+
 def make_train_step(
     model,
     encoder: TargetEncoder,
     tx: optax.GradientTransformation,
-    loss_config: RonLossConfig = RonLossConfig(),
+    loss_config=RonLossConfig(),
     ema_decay: Optional[float] = None,
 ) -> Callable:
     """Build the pure train step.
@@ -61,17 +91,21 @@ def make_train_step(
     The returned function maps
       (state, batch, rng) -> (new_state, metrics)
     with batch = dict(image [B,H,W,3] whitened, gt_labels [B,G],
-    gt_boxes [B,G,4], gt_valid [B,G]).
+    gt_boxes [B,G,4], gt_valid [B,G]). `loss_config` selects the loss family
+    (RON random-negative / SSD hard-negative mining).
 
     GT encoding runs on device inside the step — the reference did matching
     on CPU inside 24 preprocessing threads (ref: ron_net.py:277-306); on TPU
     the vectorized matcher is cheap and keeps the host pipeline IO-only.
     """
+    loss = detection_loss_fn(loss_config)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array) -> Tuple[TrainState, Dict]:
         targets = encoder.batched(
             batch["gt_labels"], batch["gt_boxes"], batch["gt_valid"]
         )
+
+        rng_loss, rng_dropout = jax.random.split(rng)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -79,17 +113,9 @@ def make_train_step(
                 batch["image"],
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": rng_dropout},
             )
-            total, metrics = ron_losses(
-                rng,
-                out.logits,
-                out.locations,
-                out.objness_logits,
-                out.objness_pred,
-                targets.labels,
-                targets.locations,
-                loss_config,
-            )
+            total, metrics = loss(rng_loss, out, targets)
             return total, (metrics, mutated["batch_stats"])
 
         grads, (metrics, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -118,9 +144,10 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, encoder, loss_config: RonLossConfig = RonLossConfig()):
+def make_eval_step(model, encoder, loss_config=RonLossConfig()):
     """Forward + loss without updates (eval-time loss reporting,
     ref: eval_ron_network.py:212-220)."""
+    loss = detection_loss_fn(loss_config)
 
     def eval_step(state: TrainState, batch: Dict, rng: jax.Array):
         targets = encoder.batched(batch["gt_labels"], batch["gt_boxes"], batch["gt_valid"])
@@ -129,16 +156,7 @@ def make_eval_step(model, encoder, loss_config: RonLossConfig = RonLossConfig())
             batch["image"],
             train=False,
         )
-        total, metrics = ron_losses(
-            rng,
-            out.logits,
-            out.locations,
-            out.objness_logits,
-            out.objness_pred,
-            targets.labels,
-            targets.locations,
-            loss_config,
-        )
+        total, metrics = loss(rng, out, targets)
         return out, metrics
 
     return eval_step

@@ -61,9 +61,19 @@ class Trainer:
         self.tx = make_optimizer(config.optimizer)
         self.preprocess_config = PreprocessConfig(out_shape=self.spec.img_shape)
 
+        # SSD models train with the hard-negative-mining loss family.
+        loss_config = config.loss
+        if config.model.startswith("ssd"):
+            from ..losses.ssd import SsdLossConfig
+
+            loss_config = SsdLossConfig(
+                num_classes=self.spec.num_classes,
+                match_threshold=config.match.positive_threshold,
+            )
+
         # One fused step: augmentation -> encoding -> fwd/bwd -> update.
         base_step = make_train_step(
-            self.model, self.encoder, self.tx, config.loss, config.ema_decay
+            self.model, self.encoder, self.tx, loss_config, config.ema_decay
         )
 
         def full_step(state: TrainState, host_batch: Dict, rng: jax.Array):
