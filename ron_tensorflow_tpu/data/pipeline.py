@@ -38,6 +38,11 @@ class PipelineConfig:
     num_workers: int = 1
     worker_index: int = 0
     seed: int = 0
+    # Cache decoded+resized images (uint8) in host RAM after the first
+    # epoch — VOC07+12 at 512x512 is ~17 GB, trivially within a TPU host's
+    # memory, and it removes the single-core JPEG-decode bottleneck
+    # (~5 ms/image) from epochs 2+.
+    cache_decoded: bool = False
 
 
 def decode_jpeg(data: bytes, out_hw) -> np.ndarray:
@@ -148,12 +153,25 @@ def batch_iterator(
     """Fixed-size host batches: image01 [B,H0,W0,3] float, gt_labels [B,G],
     gt_boxes [B,G,4], gt_valid [B,G], gt_difficult [B,G]."""
     it = iterate_samples(files, config, epochs)
+    cache: Dict[bytes, np.ndarray] = {}
+
+    def decode(jpeg: bytes) -> np.ndarray:
+        if not config.cache_decoded:
+            return decode_jpeg(jpeg, config.working_shape)
+        key = jpeg[:64] + len(jpeg).to_bytes(8, "little")
+        hit = cache.get(key)
+        if hit is None:
+            img = decode_jpeg(jpeg, config.working_shape)
+            cache[key] = (img * 255.0).astype(np.uint8)
+            return img
+        return hit.astype(np.float32) / 255.0
+
     while True:
         images, labels, boxes, valid, difficult = [], [], [], [], []
         try:
             for _ in range(config.batch_size):
                 s = next(it)
-                images.append(decode_jpeg(s["jpeg"], config.working_shape))
+                images.append(decode(s["jpeg"]))
                 gt = _pad_gt(s, config.max_boxes)
                 labels.append(gt["labels"])
                 boxes.append(gt["boxes"])
