@@ -221,6 +221,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("cpu", "tpu", "axon", None),
         help="force a JAX platform (default: ambient)",
     )
+    p.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="enable jax debug_nans (the tfdbg has_inf_or_nan filter, "
+        "ref: ron_net.py:399-402)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     t = sub.add_parser("train", help="train a detector")
@@ -278,6 +284,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     _set_platform(args.platform)
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     return args.fn(args)
 
 
