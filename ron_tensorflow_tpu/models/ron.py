@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.anchors import AnchorLayout, build_anchor_layout
-from .layers import Conv, ConvTranspose
+from .layers import BatchNorm, Conv, ConvTranspose
 from .vgg import VGG16Backbone
 
 
@@ -104,8 +104,6 @@ class ClsHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from .layers import BatchNorm
-
         for blk in ("inception1", "inception2"):
             b0 = Conv(512, (3, 3), act=None, dtype=self.dtype, name=f"{blk}_3x3")(x)
             b1 = Conv(512, (1, 1), act=None, dtype=self.dtype, name=f"{blk}_1x1")(x)

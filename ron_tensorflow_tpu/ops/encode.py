@@ -76,8 +76,6 @@ def dual_max_match(
       match_idx: [N] int32 — matched gt index, -1 negative, -2 ignore.
       match_scores: [N] float — IoU with the selected gt (gt-override aware).
     """
-    num_gt = overlap.shape[0]
-
     # Anchor → gt pass.
     anchors_to_gt = jnp.argmax(overlap, axis=0).astype(jnp.int32)  # [N]
     match_values = jnp.max(overlap, axis=0)  # [N]
@@ -98,7 +96,6 @@ def dual_max_match(
     match_idx = jnp.where(claimed, claiming_gt, match_idx)
     score_gt = jnp.where(claimed, claiming_gt, anchors_to_gt)
     match_scores = jnp.take_along_axis(overlap, score_gt[None, :], axis=0)[0]
-    del num_gt
     return match_idx, match_scores
 
 
