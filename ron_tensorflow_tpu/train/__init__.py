@@ -2,6 +2,7 @@
 
 from .optimizer import OptimizerConfig, make_learning_rate_schedule, make_optimizer
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
+from .tf_checkpoint import TFCheckpointReader
 
 __all__ = [
     "OptimizerConfig",
@@ -11,4 +12,5 @@ __all__ = [
     "create_train_state",
     "make_eval_step",
     "make_train_step",
+    "TFCheckpointReader",
 ]

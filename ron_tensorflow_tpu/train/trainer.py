@@ -125,6 +125,21 @@ class Trainer:
         if cfg.checkpoint_format == "torch":
             sd = load_torch_checkpoint(cfg.checkpoint_path)
             flat = torch_vgg_to_flat(sd, bgr_to_rgb=cfg.checkpoint_bgr_to_rgb)
+        elif cfg.checkpoint_format == "tf":
+            from .tf_checkpoint import TFCheckpointReader, slim_vgg_to_flat
+
+            reader = TFCheckpointReader(cfg.checkpoint_path)
+            flat = slim_vgg_to_flat(
+                reader.load_all(),
+                source_scope=cfg.checkpoint_model_scope or "vgg_16",
+            )
+        elif cfg.checkpoint_format == "caffe":
+            from .caffe_import import caffe_vgg_to_flat, parse_caffemodel
+
+            flat = caffe_vgg_to_flat(
+                parse_caffemodel(cfg.checkpoint_path),
+                bgr_to_rgb=cfg.checkpoint_bgr_to_rgb,
+            )
         else:
             import orbax.checkpoint as ocp
 
