@@ -43,6 +43,10 @@ class PipelineConfig:
     # memory, and it removes the single-core JPEG-decode bottleneck
     # (~5 ms/image) from epochs 2+.
     cache_decoded: bool = False
+    # 'float32' (default) or 'uint8': uint8 quarters the host->device batch
+    # transfer (the dominant cost on bandwidth-limited links); the consumer
+    # converts on device (image.astype(f32) / 255).
+    output_dtype: str = "float32"
 
 
 def decode_jpeg(data: bytes, out_hw) -> np.ndarray:
@@ -179,8 +183,11 @@ def batch_iterator(
                 difficult.append(gt["difficult"])
         except StopIteration:
             return
+        stacked = np.stack(images)
+        if config.output_dtype == "uint8":
+            stacked = (stacked * 255.0 + 0.5).astype(np.uint8)
         yield {
-            "image01": np.stack(images),
+            "image01": stacked,
             "gt_labels": np.stack(labels),
             "gt_boxes": np.stack(boxes),
             "gt_valid": np.stack(valid),

@@ -50,7 +50,7 @@ class Trainer:
         self.config = config
         self.model, self.spec = get_network(config.model)
         if config.bfloat16:
-            self.model = self.model.replace(dtype=jnp.bfloat16)
+            self.model = self.model.clone(dtype=jnp.bfloat16)
         self.encoder = TargetEncoder(
             self.spec.anchor_layout(),
             self.spec.img_shape,
@@ -78,9 +78,14 @@ class Trainer:
 
         def full_step(state: TrainState, host_batch: Dict, rng: jax.Array):
             k_aug, k_loss = jax.random.split(rng)
+            image01 = host_batch["image01"]
+            if image01.dtype == jnp.uint8:
+                # uint8 transport (4x less host->device traffic); normalize
+                # on device.
+                image01 = image01.astype(jnp.float32) / 255.0
             image, boxes, labels, valid = train_augment_batch(
                 k_aug,
-                host_batch["image01"],
+                image01,
                 host_batch["gt_boxes"],
                 host_batch["gt_labels"],
                 host_batch["gt_valid"],
@@ -177,6 +182,7 @@ class Trainer:
             num_workers=cfg.data.num_workers,
             worker_index=cfg.data.worker_index,
             seed=cfg.seed,
+            output_dtype="uint8",  # quarter the host->device batch traffic
         )
         return PrefetchIterator(batch_iterator(files, pcfg, epochs=epochs))
 

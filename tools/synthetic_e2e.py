@@ -19,7 +19,7 @@ import tempfile
 import numpy as np
 
 
-def make_dataset(out_dir: str, n_train=800, n_test=96, seed=0):
+def make_dataset(out_dir: str, n_train=800, n_test=96, seed=0, canvas=128):
     from PIL import Image, ImageDraw
 
     from ron_tensorflow_tpu.data.convert import encode_voc_example
@@ -31,14 +31,14 @@ def make_dataset(out_dir: str, n_train=800, n_test=96, seed=0):
               (230, 230, 40), (230, 40, 230), (40, 230, 230)]
 
     def gen_sample():
-        img = Image.fromarray(rng.integers(0, 80, (128, 128, 3), np.uint8))
+        img = Image.fromarray(rng.integers(0, 80, (canvas, canvas, 3), np.uint8))
         draw = ImageDraw.Draw(img)
         objects = []
         for _ in range(1 + int(rng.integers(0, 2))):
             cls = 1 + int(rng.integers(0, 6))
-            w, h = rng.uniform(0.25, 0.55, 2) * 128
-            x0 = rng.uniform(0, 128 - w)
-            y0 = rng.uniform(0, 128 - h)
+            w, h = rng.uniform(0.25, 0.55, 2) * canvas
+            x0 = rng.uniform(0, canvas - w)
+            y0 = rng.uniform(0, canvas - h)
             box = (x0, y0, x0 + w, y0 + h)
             # classes 1-3 rectangles, 4-6 ellipses, color cycles
             if cls <= 3:
@@ -46,11 +46,12 @@ def make_dataset(out_dir: str, n_train=800, n_test=96, seed=0):
             else:
                 draw.ellipse(box, fill=colors[cls - 1])
             objects.append(
-                VocObject(cls, f"class{cls}", (y0 / 128, x0 / 128, (y0 + h) / 128, (x0 + w) / 128), 0, 0)
+                VocObject(cls, f"class{cls}",
+                          (y0 / canvas, x0 / canvas, (y0 + h) / canvas, (x0 + w) / canvas), 0, 0)
             )
         buf = io.BytesIO()
         img.save(buf, format="JPEG", quality=90)
-        return buf.getvalue(), VocAnnotation((128, 128, 3), objects)
+        return buf.getvalue(), VocAnnotation((canvas, canvas, 3), objects)
 
     os.makedirs(out_dir, exist_ok=True)
     for split, n in (("train", n_train), ("test", n_test)):
@@ -75,19 +76,23 @@ def main():
     from ron_tensorflow_tpu.models import get_network
     from ron_tensorflow_tpu.train.trainer import Trainer
 
+    model_name = os.environ.get("SYNTH_MODEL", "ron_tiny_vgg")
+    canvas = int(os.environ.get("SYNTH_CANVAS", "128"))
+    batch = int(os.environ.get("SYNTH_BATCH", "32"))
+    bf16 = os.environ.get("SYNTH_BF16", "false")
     work = tempfile.mkdtemp(prefix="synth_e2e_")
-    data_dir = make_dataset(os.path.join(work, "records"))
-    print(f"dataset at {data_dir}")
+    data_dir = make_dataset(os.path.join(work, "records"), canvas=canvas)
+    print(f"dataset at {data_dir} (canvas {canvas}, model {model_name})")
 
     steps = int(os.environ.get("SYNTH_STEPS", "1500"))
     cfg = apply_overrides(
         TrainConfig(),
         [
-            "model=ron_tiny_vgg",
+            f"model={model_name}",
             f"model_dir={work}/model",
             f"data.dataset_dir={data_dir}",
             "data.file_pattern=synth_train_*.tfrecord",
-            "data.batch_size=32",
+            f"data.batch_size={batch}",
             "data.max_boxes=8",
             f"max_steps={steps}",
             "log_every_steps=100",
@@ -98,20 +103,21 @@ def main():
             "optimizer.lr_factors=[1.0, 0.1, 0.01]",
             "match.positive_threshold=0.5",
             "mesh_shape=[1, 1]",
-            "bfloat16=false",
+            f"bfloat16={bf16}",
         ],
     )
-    cfg = replace(cfg, data=replace(cfg.data, working_shape=(128, 128)))
+    cfg = replace(cfg, data=replace(cfg.data, working_shape=(canvas, canvas)))
     trainer = Trainer(cfg)
     state = trainer.train()
     variables = {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)}
 
-    model, spec = get_network("ron_tiny_vgg")
+    model, spec = get_network(model_name)
     ev = StreamingEvaluator(
         model, spec,
-        DetectionConfig(top_k=64, keep_top_k=16, select_threshold=0.05,
-                        objectness_threshold=0.03),
+        DetectionConfig(top_k=64 if model_name == "ron_tiny_vgg" else 200,
+                        keep_top_k=16 if model_name == "ron_tiny_vgg" else 100,
+                        select_threshold=0.05, objectness_threshold=0.03),
     )
     pcfg = PipelineConfig(batch_size=8, working_shape=spec.img_shape, max_boxes=8,
                           shuffle=False, keep_difficult=True)
