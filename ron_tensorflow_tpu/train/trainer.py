@@ -182,6 +182,7 @@ class Trainer:
             num_workers=cfg.data.num_workers,
             worker_index=cfg.data.worker_index,
             seed=cfg.seed,
+            cache_decoded=cfg.data.cache_decoded,
             output_dtype="uint8",  # quarter the host->device batch traffic
         )
         return PrefetchIterator(batch_iterator(files, pcfg, epochs=epochs))
