@@ -78,12 +78,17 @@ def cmd_eval(args):
     )
 
     def eval_batches():
-        for hb in PrefetchIterator(batch_iterator(files, pcfg, epochs=1)):
+        # drop_remainder=False: every test image must be scored (the final
+        # short batch is padded and masked via sample_valid).
+        for hb in PrefetchIterator(
+            batch_iterator(files, pcfg, epochs=1, drop_remainder=False)
+        ):
             yield {
                 "image": np.asarray(whiten(hb["image01"])),
                 "gt_labels": hb["gt_labels"],
                 "gt_boxes": hb["gt_boxes"],
                 "gt_difficult": hb["gt_difficult"],
+                "sample_valid": hb["sample_valid"],
             }
 
     ev = StreamingEvaluator(

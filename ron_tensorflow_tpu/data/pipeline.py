@@ -152,25 +152,39 @@ def iterate_samples(
 
 
 def batch_iterator(
-    files: List[str], config: PipelineConfig, epochs: Optional[int] = None
+    files: List[str],
+    config: PipelineConfig,
+    epochs: Optional[int] = None,
+    drop_remainder: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Fixed-size host batches: image01 [B,H0,W0,3] float, gt_labels [B,G],
-    gt_boxes [B,G,4], gt_valid [B,G], gt_difficult [B,G]."""
+    """Fixed-size host batches: image01 [B,H0,W0,3] float (or uint8 per
+    config.output_dtype), gt_labels [B,G], gt_boxes [B,G,4], gt_valid [B,G],
+    gt_difficult [B,G], sample_valid [B].
+
+    With drop_remainder=False the final short batch is zero-padded to full
+    size and `sample_valid` marks the real rows — evaluation must cover
+    every image (the reference evaluates all 4952 VOC test images), so
+    padded rows can be masked out downstream instead of images being
+    silently dropped.
+    """
     it = iterate_samples(files, config, epochs)
     cache: Dict[bytes, np.ndarray] = {}
 
     def decode(jpeg: bytes) -> np.ndarray:
+        """Returns the uint8 working canvas (cached by content hash)."""
         if not config.cache_decoded:
-            return decode_jpeg(jpeg, config.working_shape)
-        key = jpeg[:64] + len(jpeg).to_bytes(8, "little")
+            return (decode_jpeg(jpeg, config.working_shape) * 255.0 + 0.5).astype(np.uint8)
+        import hashlib
+
+        key = hashlib.blake2b(jpeg, digest_size=16).digest()
         hit = cache.get(key)
         if hit is None:
-            img = decode_jpeg(jpeg, config.working_shape)
-            cache[key] = (img * 255.0).astype(np.uint8)
-            return img
-        return hit.astype(np.float32) / 255.0
+            hit = (decode_jpeg(jpeg, config.working_shape) * 255.0 + 0.5).astype(np.uint8)
+            cache[key] = hit
+        return hit
 
-    while True:
+    exhausted = False
+    while not exhausted:
         images, labels, boxes, valid, difficult = [], [], [], [], []
         try:
             for _ in range(config.batch_size):
@@ -182,16 +196,29 @@ def batch_iterator(
                 valid.append(gt["valid"])
                 difficult.append(gt["difficult"])
         except StopIteration:
-            return
-        stacked = np.stack(images)
-        if config.output_dtype == "uint8":
-            stacked = (stacked * 255.0 + 0.5).astype(np.uint8)
+            exhausted = True
+            if not images or drop_remainder:
+                return
+        n_real = len(images)
+        pad = config.batch_size - n_real
+        if pad:
+            images += [np.zeros_like(images[0])] * pad
+            labels += [np.zeros_like(labels[0])] * pad
+            boxes += [np.zeros_like(boxes[0])] * pad
+            valid += [np.zeros_like(valid[0])] * pad
+            difficult += [np.zeros_like(difficult[0])] * pad
+        stacked = np.stack(images)  # uint8 from decode()
+        if config.output_dtype != "uint8":
+            stacked = stacked.astype(np.float32) / 255.0
+        sample_valid = np.zeros((config.batch_size,), bool)
+        sample_valid[:n_real] = True
         yield {
             "image01": stacked,
             "gt_labels": np.stack(labels),
             "gt_boxes": np.stack(boxes),
             "gt_valid": np.stack(valid),
             "gt_difficult": np.stack(difficult),
+            "sample_valid": sample_valid,
         }
 
 

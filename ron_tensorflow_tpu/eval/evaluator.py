@@ -70,7 +70,12 @@ class StreamingEvaluator:
             tp = np.asarray(res.tp)
             fp = np.asarray(res.fp)
             b = scores_np.shape[0]
+            sample_valid = np.asarray(
+                batch.get("sample_valid", np.ones((b,), bool))
+            )
             for img in range(b):
+                if not sample_valid[img]:
+                    continue  # padding row of a final short batch
                 for c in range(1, self.spec.num_classes):
                     acc.add(
                         c,
@@ -79,7 +84,7 @@ class StreamingEvaluator:
                         tp[img, c - 1],
                         fp[img, c - 1],
                     )
-            n_images += b
+            n_images += int(sample_valid.sum())
             if log_every and (bi + 1) % log_every == 0:
                 dt = time.time() - t_start
                 print(f"[eval] {n_images} images, {dt / n_images:.3f} sec/image")

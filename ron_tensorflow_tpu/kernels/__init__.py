@@ -1,5 +1,11 @@
 """Pallas TPU kernels for the framework's custom hot ops."""
 
-from .nms_pallas import pallas_nms_keep_mask
+from .fused_conv_pool import fused_conv3x3_relu_pool2, fused_stem_conv_relu_pool2
+from .nms_pallas import nms_sorted_pallas, pallas_nms_keep_mask
 
-__all__ = ["pallas_nms_keep_mask"]
+__all__ = [
+    "fused_conv3x3_relu_pool2",
+    "fused_stem_conv_relu_pool2",
+    "nms_sorted_pallas",
+    "pallas_nms_keep_mask",
+]

@@ -10,7 +10,11 @@ only the pooled output (4x smaller).
 
 The conv is computed as 9 shifted [rows*W, C] x [C, Co] MXU matmuls
 accumulated in f32; pooling is two max-reductions over split sublane dims.
-Used at inference (no autodiff); training uses the XLA path.
+
+STATUS: experimental — numerically verified against XLA (interpret + TPU)
+but currently only TIES XLA's fused timing on v5e (per-program VPU data
+movement eats the bandwidth savings; see NOTES.md), so the models do NOT
+wire it in by default. No autodiff: inference only.
 """
 
 from __future__ import annotations

@@ -122,7 +122,7 @@ def ron_losses(
     p_cls = jnp.where(n_cls_neg > 0, n_cls_neg_select / jnp.maximum(n_cls_neg, 1.0), 0.0)
     rand2 = jax.random.uniform(k_cls, gclasses.shape, dtype)
     cls_mask = (cls_negative_mask & (rand2 < p_cls)) | cls_positive_mask
-    cls_labels = jnp.clip(gclasses, 0, cfg.num_classes)
+    cls_labels = jnp.clip(gclasses, 0, cfg.num_classes - 1)
     cls_ce = _softmax_ce(logits, cls_labels)
     cls_weight = 1.0 - cfg.alpha - cfg.beta
     cls_loss = jnp.where(

@@ -145,10 +145,15 @@ def _encode_flat(
     # Guard log/div for unmatched (zeroed) rows; outputs there are masked to 0.
     gh_safe = jnp.where(matched, gh, ah)
     gw_safe = jnp.where(matched, gw, aw)
-    tcy = (gcy - acy) / ah / s0
-    tcx = (gcx - acx) / aw / s1
-    th = jnp.log(gh_safe / ah) / s2
-    tw = jnp.log(gw_safe / aw) / s3
+    # Index convention: channel 0 (cx) uses s0 and channel 1 (cy) uses s1 on
+    # BOTH encode and decode sides. (The reference swaps them between
+    # tf_ssd_bboxes_encode_layer and decode — latent bug masked by its
+    # s0 == s1 defaults, ref: nets/ssd_common.py:141-144 vs :448-470; here
+    # encode/decode are exact mutual inverses for any scaling.)
+    tcy = (gcy - acy) / ah / s1
+    tcx = (gcx - acx) / aw / s0
+    th = jnp.log(gh_safe / ah) / s3
+    tw = jnp.log(gw_safe / aw) / s2
     locations = jnp.stack([tcx, tcy, tw, th], axis=-1)  # SSD (cx, cy, w, h) order
     locations = locations * matched.astype(locations.dtype)[:, None]
 

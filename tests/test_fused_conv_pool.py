@@ -1,0 +1,43 @@
+"""Parity tests for the experimental fused conv+ReLU+pool Pallas kernels
+(interpret mode) against the XLA reference composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as nn
+
+from ron_tensorflow_tpu.kernels import fused_conv3x3_relu_pool2, fused_stem_conv_relu_pool2
+
+
+def xla_reference(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = jax.nn.relu(y + b)
+    return nn.max_pool(y.astype(jnp.float32), (2, 2), (2, 2), "SAME")
+
+
+@pytest.mark.parametrize("fn", [fused_conv3x3_relu_pool2, fused_stem_conv_relu_pool2])
+def test_fused_kernel_parity_interpret(fn):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    ref = xla_reference(x, w, b)
+    out = fn(x, w, b, interpret=True)
+    assert out.shape == ref.shape == (2, 8, 8, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_fused_kernel_rect_channels():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 4, 16)) * 0.1, jnp.float32)
+    b = jnp.zeros((16,), jnp.float32)
+    ref = xla_reference(x, w, b)
+    out = fused_conv3x3_relu_pool2(x, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)

@@ -124,12 +124,13 @@ def main():
     test_files = [os.path.join(data_dir, "synth_test_000.tfrecord")]
 
     def eval_batches():
-        for hb in batch_iterator(test_files, pcfg, epochs=1):
+        for hb in batch_iterator(test_files, pcfg, epochs=1, drop_remainder=False):
             yield {
                 "image": np.asarray(whiten(hb["image01"])),
                 "gt_labels": hb["gt_labels"],
                 "gt_boxes": hb["gt_boxes"],
                 "gt_difficult": hb["gt_difficult"],
+                "sample_valid": hb["sample_valid"],
             }
 
     map07, map12, aps, stats = ev.run(variables, eval_batches(), log_every=0)
