@@ -75,6 +75,7 @@ def cmd_eval(args):
         max_boxes=cfg.data.max_boxes,
         shuffle=False,
         keep_difficult=True,
+        eval_resize=cfg.resize,  # TF1-parity bilinear + box remap
     )
 
     def eval_batches():
@@ -152,11 +153,13 @@ def cmd_infer(args):
     det = RealtimeDetector(
         model, spec, RealtimeConfig(objectness_threshold=args.objectness_threshold)
     )
+    from .data.resize import tf1_bilinear_resize
+
     for i, path in enumerate(args.images):
-        pil = Image.open(path).convert("RGB")
-        img01 = np.asarray(
-            pil.resize((spec.img_shape[1], spec.img_shape[0]), Image.BILINEAR), np.float32
-        ) / 255.0
+        # TF1-legacy bilinear — the numerics the checkpoints expect
+        # (PIL BILINEAR antialises and uses half-pixel centers).
+        raw = np.asarray(Image.open(path).convert("RGB"))
+        img01 = tf1_bilinear_resize(raw, spec.img_shape) / 255.0
         scores, labels, boxes, valid = det(
             variables, jnp.expand_dims(whiten(jnp.asarray(img01)), 0)
         )

@@ -87,6 +87,10 @@ class EvalConfig:
     matching_threshold: float = 0.5
     max_batches: Optional[int] = None
     use_ema: bool = False
+    # Eval resize strategy (ref: eval_ssd_network.py `eval_resize_option` +
+    # ssd_vgg_preprocessing.py:358-425): WARP_RESIZE (default) |
+    # CENTRAL_CROP | PAD_AND_RESIZE. ('NONE' needs the realtime evaluator.)
+    resize: str = "WARP_RESIZE"
 
 
 def _coerce(value: str, field_type) -> Any:

@@ -47,23 +47,54 @@ class PipelineConfig:
     # transfer (the dominant cost on bandwidth-limited links); the consumer
     # converts on device (image.astype(f32) / 255).
     output_dtype: str = "float32"
+    # Eval resize strategy (ref: ssd_vgg_preprocessing.py:358-425 + the
+    # eval_ssd_network.py resize flag). None = train path (fast cv2 warp to
+    # the working canvas; augmentation re-warps anyway). When set, images are
+    # resized with TF1-legacy bilinear numerics (data/resize.py) and gt boxes
+    # are remapped for CENTRAL_CROP / PAD_AND_RESIZE. 'NONE' cannot be
+    # batched (variable shapes) — use the realtime evaluator for it.
+    eval_resize: Optional[str] = None
 
 
-def decode_jpeg(data: bytes, out_hw) -> np.ndarray:
-    """JPEG -> float32 [H,W,3] in [0,1] resized to the working canvas."""
+def decode_jpeg_raw(data: bytes) -> np.ndarray:
+    """JPEG -> uint8 [H,W,3] RGB at original resolution."""
     try:
         import cv2
 
         arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
-        arr = cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
-        arr = cv2.resize(arr, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
-        return arr.astype(np.float32) / 255.0
+        return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
     except ImportError:
         from PIL import Image
 
-        img = Image.open(io.BytesIO(data)).convert("RGB")
-        img = img.resize((out_hw[1], out_hw[0]), Image.BILINEAR)
-        return np.asarray(img, np.float32) / 255.0
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def decode_jpeg(data: bytes, out_hw) -> np.ndarray:
+    """JPEG -> float32 [H,W,3] in [0,1] resized to the working canvas
+    (fast cv2 warp — the train path; eval uses TF1-parity resize)."""
+    arr = decode_jpeg_raw(data)
+    try:
+        import cv2
+
+        arr = cv2.resize(arr, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+
+        arr = np.asarray(Image.fromarray(arr).resize((out_hw[1], out_hw[0]), Image.BILINEAR))
+    return arr.astype(np.float32) / 255.0
+
+
+def decode_jpeg_eval(data: bytes, out_hw, strategy: str) -> np.ndarray:
+    """JPEG -> uint8 [out_h,out_w,3] canvas via the eval resize strategy with
+    TF1-legacy bilinear numerics (pad fill = VGG mean = whitened zero)."""
+    from .resize import preprocess_for_eval
+
+    raw = decode_jpeg_raw(data)
+    whitened, _, _ = preprocess_for_eval(raw, np.zeros((0, 4), np.float32), strategy, out_hw)
+    from .preprocess import VGG_MEANS
+
+    pixels = whitened + np.asarray(VGG_MEANS, np.float32)
+    return np.clip(pixels + 0.5, 0.0, 255.0).astype(np.uint8)
 
 
 def parse_voc_example(record: bytes) -> Dict:
@@ -167,19 +198,29 @@ def batch_iterator(
     padded rows can be masked out downstream instead of images being
     silently dropped.
     """
+    if config.eval_resize == "NONE":
+        raise ValueError(
+            "eval_resize='NONE' yields variable shapes and cannot be batched; "
+            "use the realtime evaluator for it"
+        )
     it = iterate_samples(files, config, epochs)
     cache: Dict[bytes, np.ndarray] = {}
+
+    def _decode(jpeg: bytes) -> np.ndarray:
+        if config.eval_resize:
+            return decode_jpeg_eval(jpeg, config.working_shape, config.eval_resize)
+        return (decode_jpeg(jpeg, config.working_shape) * 255.0 + 0.5).astype(np.uint8)
 
     def decode(jpeg: bytes) -> np.ndarray:
         """Returns the uint8 working canvas (cached by content hash)."""
         if not config.cache_decoded:
-            return (decode_jpeg(jpeg, config.working_shape) * 255.0 + 0.5).astype(np.uint8)
+            return _decode(jpeg)
         import hashlib
 
         key = hashlib.blake2b(jpeg, digest_size=16).digest()
         hit = cache.get(key)
         if hit is None:
-            hit = (decode_jpeg(jpeg, config.working_shape) * 255.0 + 0.5).astype(np.uint8)
+            hit = _decode(jpeg)
             cache[key] = hit
         return hit
 
@@ -190,6 +231,20 @@ def batch_iterator(
             for _ in range(config.batch_size):
                 s = next(it)
                 images.append(decode(s["jpeg"]))
+                if config.eval_resize in ("CENTRAL_CROP", "PAD_AND_RESIZE"):
+                    from .resize import remap_boxes_for_eval
+
+                    h0, w0 = s["shape"][:2]
+                    if not (h0 and w0):  # shape absent from the record
+                        import PIL.Image
+
+                        w0, h0 = PIL.Image.open(io.BytesIO(s["jpeg"])).size
+                    s = {
+                        **s,
+                        "boxes": remap_boxes_for_eval(
+                            s["boxes"], (h0, w0), config.eval_resize, config.working_shape
+                        ),
+                    }
                 gt = _pad_gt(s, config.max_boxes)
                 labels.append(gt["labels"])
                 boxes.append(gt["boxes"])

@@ -233,9 +233,13 @@ def train_augment_batch(rng, images01, boxes, labels, valid,
 @partial(jax.jit, static_argnames=("out_shape",))
 def eval_preprocess(image01: jnp.ndarray, out_shape: Tuple[int, int] = (320, 320)):
     """Eval path: whiten + warp resize (the reference's default
-    Resize.WARP_RESIZE, ref: ssd_vgg_preprocessing.py:358-425). Returns the
+    Resize.WARP_RESIZE, ref: ssd_vgg_preprocessing.py:358-425) with TF1
+    legacy-bilinear numerics (align_corners=False, half_pixel_centers=False —
+    what the published checkpoints expect; data/resize.py). Returns the
     image and the full-image reference box used to un-resize detections."""
-    img = jax.image.resize(image01, (*out_shape, image01.shape[-1]), method="bilinear")
+    from .resize import tf1_bilinear_resize  # local: resize imports VGG_MEANS
+
+    img = tf1_bilinear_resize(image01, out_shape)
     bbox_img = jnp.array([0.0, 0.0, 1.0, 1.0], jnp.float32)
     return whiten(img), bbox_img
 

@@ -81,17 +81,14 @@ class RealtimeEvaluator:
             )
             with open(jpeg_path, "rb") as f:
                 data = f.read()
-            from PIL import Image
-            import io
+            from ..data.pipeline import decode_jpeg_raw
+            from ..data.resize import tf1_bilinear_resize
 
-            pil = Image.open(io.BytesIO(data)).convert("RGB")
-            w0, h0 = pil.size
-            img = np.asarray(
-                pil.resize(
-                    (self.spec.img_shape[1], self.spec.img_shape[0]), Image.BILINEAR
-                ),
-                np.float32,
-            ) / 255.0
+            raw = decode_jpeg_raw(data)
+            h0, w0 = raw.shape[:2]
+            # TF1-legacy bilinear (WARP_RESIZE), matching the reference's
+            # preprocess_for_eval numerics (ref: tf_image.py:269-281).
+            img = tf1_bilinear_resize(raw, self.spec.img_shape) / 255.0
             per_class = self.detect_image(variables, img)
             for cls, rows in per_class.items():
                 rows = rows.copy()

@@ -149,11 +149,25 @@ def build_anchor_layout(
         )
         a = h.shape[0]
         hh, ww = feat_shape
-        cy = np.broadcast_to(y, (hh, ww, a))
-        cx = np.broadcast_to(x, (hh, ww, a))
-        bh = np.broadcast_to(h, (hh, ww, a))
-        bw = np.broadcast_to(w, (hh, ww, a))
-        cyxhw = np.stack([cy, cx, bh, bw], axis=-1).reshape(-1, 4)
+        # Corner→center→corner float32 roundtrip, exactly like the reference's
+        # joint encoder (ref: nets/ssd_common.py:372-383 then :103-110): the
+        # re-derived h is e.g. 0.8000001, not 0.8, and the re-derived corner
+        # -0.10000002 *fails* the >= -0.1 border test that the direct corner
+        # -0.09999999 passes. Bit-exact parity of the inside mask (and hence
+        # of anchor matching) requires reproducing this rounding.
+        ymin = (y - h / 2.0).astype(np.float32)
+        xmin = (x - w / 2.0).astype(np.float32)
+        ymax = (y + h / 2.0).astype(np.float32)
+        xmax = (x + w / 2.0).astype(np.float32)
+        cyxhw = np.stack(
+            [
+                np.broadcast_to((ymin + ymax) / 2.0, (hh, ww, a)),
+                np.broadcast_to((xmin + xmax) / 2.0, (hh, ww, a)),
+                np.broadcast_to(ymax - ymin, (hh, ww, a)),
+                np.broadcast_to(xmax - xmin, (hh, ww, a)),
+            ],
+            axis=-1,
+        ).reshape(-1, 4)
         all_cyxhw.append(cyxhw.astype(np.float32))
         all_borders.append(np.full((hh * ww * a,), allowed_borders[i], dtype=np.float32))
         layer_shapes.append((hh, ww, a))
