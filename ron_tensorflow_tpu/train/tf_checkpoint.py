@@ -223,3 +223,98 @@ def slim_vgg_to_flat(
             kind = "kernel" if parts[-1] == "weights" else "bias"
             flat[f"{backbone_prefix}/{parts[0]}/conv/{kind}"] = arr
     return flat
+
+
+_BN_PARAM = {"gamma": "scale", "beta": "bias"}
+_BN_STAT = {"moving_mean": "mean", "moving_variance": "var"}
+
+
+def _bn_flat(prefix: str, leaf: str, arr, params: Dict, stats: Dict) -> bool:
+    if leaf in _BN_PARAM:
+        params[f"{prefix}/{_BN_PARAM[leaf]}"] = arr
+        return True
+    if leaf in _BN_STAT:
+        stats[f"{prefix}/{_BN_STAT[leaf]}"] = arr
+        return True
+    return False
+
+
+def slim_ron_to_flat(
+    tensors: Dict[str, np.ndarray],
+    source_scope: str = "ron_320_vgg",
+    backbone_prefix: str = "backbone",
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Map the FULL RON graph's slim tensor names (backbone + reverse modules
+    + objectness/cls/box heads + BatchNorm) to our flat flax names.
+
+    Slim naming source: nets/ron_vgg_320.py —
+      reverse_module/{layer}_reverse_conv_left (+BatchNorm)          (:418-425)
+      reverse_module/{layer}_reverse_deconv_right                    (:424)
+      reverse_module/{layer}_reverse_objectness(+BN) / _score        (:428-430)
+      reverse_module/{layer}_reverse_inception{1,2}/Branch_{0,1}/... (:378-399)
+      reverse_module/{layer}_reverse/Conv2d_{0,1}_3x3                (:406-415)
+
+    Deconv kernels are converted from TF's [kh, kw, OUT, IN] layout to our
+    [kh, kw, IN, OUT] with a spatial flip — verified numerically exact
+    against tf.nn.conv2d_transpose (see tools/reference_forward.py).
+
+    Returns (params_flat, batch_stats_flat).
+    """
+    params = slim_vgg_to_flat(tensors, source_scope, backbone_prefix)
+    stats: Dict[str, np.ndarray] = {}
+    for name, arr in tensors.items():
+        parts = name.split("/")
+        if parts and parts[0] == source_scope:
+            parts = parts[1:]
+        if not parts or parts[0] != "reverse_module":
+            continue
+        parts = parts[1:]
+        head, leaf = parts[0], parts[-1]
+
+        def _layer_of(tag: str) -> str:
+            return tag.split("_reverse")[0]
+
+        if "_reverse_conv_left" in head:
+            p = f"{_layer_of(head)}_reverse/conv_left"
+            if leaf == "weights":
+                params[f"{p}/conv/kernel"] = arr
+            else:
+                _bn_flat(f"{p}/bn", leaf, arr, params, stats)
+        elif "_reverse_deconv_right" in head:
+            p = f"{_layer_of(head)}_reverse/deconv_right"
+            if leaf == "weights":
+                params[f"{p}/deconv_kernel"] = arr[::-1, ::-1].transpose(0, 1, 3, 2)
+            elif leaf == "biases":
+                params[f"{p}/deconv_bias"] = arr
+        elif "_reverse_objectness_score" in head:
+            p = f"{_layer_of(head)}_objectness/score/conv"
+            params[f"{p}/{'kernel' if leaf == 'weights' else 'bias'}"] = arr
+        elif "_reverse_objectness" in head:
+            p = f"{_layer_of(head)}_objectness/conv"
+            if leaf == "weights":
+                params[f"{p}/conv/kernel"] = arr
+            else:
+                _bn_flat(f"{p}/bn", leaf, arr, params, stats)
+        elif "_reverse_inception" in head:
+            layer = _layer_of(head)
+            blk = "inception" + head.split("_reverse_inception")[1]
+            if parts[1] == "BatchNorm":
+                _bn_flat(f"{layer}_cls/{blk}_bn", leaf, arr, params, stats)
+            elif parts[1].startswith("Branch_"):
+                tap = "3x3" if parts[2] == "Conv2d_3x3" else "1x1"
+                kind = "kernel" if leaf == "weights" else "bias"
+                params[f"{layer}_cls/{blk}_{tap}/conv/{kind}"] = arr
+            elif parts[1] == "Conv2d_pred_3x3":
+                kind = "kernel" if leaf == "weights" else "bias"
+                params[f"{layer}_cls/pred/conv/{kind}"] = arr
+        elif head.endswith("_reverse"):  # reg_bbox_module under plain scope
+            layer = _layer_of(head)
+            if parts[1] == "Conv2d_0_3x3":
+                if leaf == "weights":
+                    params[f"{layer}_box/conv/conv/kernel"] = arr
+                else:
+                    _bn_flat(f"{layer}_box/conv/bn", leaf, arr, params, stats)
+            elif parts[1] == "Conv2d_1_3x3":
+                kind = "kernel" if leaf == "weights" else "bias"
+                params[f"{layer}_box/pred/conv/{kind}"] = arr
+    return params, stats

@@ -111,7 +111,12 @@ def load_reference_modules():
         ops.Tensor = tf_real.Tensor
 
     identity_decorator = lambda f: f
-    contrib = _shim("tensorflow.contrib", slim=_Inert("slim"))
+    # Real (minimal) slim so the reference's RON graph code itself can build
+    # and run (tools/slim_shim.py); everything else contrib stays inert.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from slim_shim import build_slim
+
+    contrib = _shim("tensorflow.contrib", slim=build_slim(tf1))
     _shim("tensorflow.contrib.image")
     _shim("tensorflow.contrib.image.python")
     _shim("tensorflow.contrib.image.python.ops", image_ops=_Inert("image_ops"))
