@@ -66,6 +66,12 @@ class TrainConfig:
     checkpoint_bgr_to_rgb: bool = False
     # mesh
     mesh_shape: Optional[Tuple[int, int]] = None  # None => (n_devices, 1)
+    # observability (ref: ron_net.py:331-372 summaries; ssd_vgg_preprocessing
+    # :86-94 + draw_toolbox.py debug image dumps)
+    tensorboard: bool = True  # events.out.tfevents.* next to metrics.jsonl
+    # Every N steps, dump sample 0 of the augmented batch with its encoded GT
+    # boxes to <model_dir>/debug/ and as a TB image summary. 0 = off.
+    dump_debug_images_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

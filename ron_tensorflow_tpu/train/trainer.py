@@ -11,13 +11,18 @@ backward + update) over a (data, model) mesh. Features:
   (ref: tf_utils.py:186-244);
 - periodic + time-based checkpointing with keep-N retention
   (ref: ron_net.py:395-418);
-- JSONL scalar metrics + rolling images/sec console logging;
+- JSONL scalar metrics + TensorBoard event files + rolling images/sec
+  console logging (ref: ron_net.py:331-372 summaries);
+- opt-in augmented-batch/GT debug image dumps — the reference's primary
+  matching-bug debugging tool (ref: ssd_vgg_preprocessing.py:86-94,
+  eval_ron_network.py:240-247, draw_toolbox.py:48-101);
 - NaN guard on the loss (the tfdbg has_inf_or_nan equivalent,
   ref: ron_net.py:399-402).
 """
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, Iterator, Optional
 
@@ -210,6 +215,11 @@ class Trainer:
         step_fn = jax.jit(self._full_step, in_shardings=(state_shardings, None, None))
 
         writer = MetricsWriter(cfg.model_dir)
+        tb = None
+        if cfg.tensorboard:
+            from ..utils.tensorboard import TensorBoardWriter
+
+            tb = TensorBoardWriter(cfg.model_dir)
         timer = StepTimer()
         last_save_time = time.time()
         it = batches if batches is not None else self.make_batches()
@@ -237,11 +247,21 @@ class Trainer:
                 loss = float(metrics["loss/total"])
                 if not np.isfinite(loss):
                     raise FloatingPointError(f"non-finite loss at step {step}: {loss}")
-                writer.write(step, {k: float(v) for k, v in metrics.items()})
+                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["images_per_sec"] = timer.images_per_sec(cfg.data.batch_size)
+                writer.write(step, scalars)
+                if tb is not None:
+                    tb.scalars(scalars, step)
                 print(
                     f"[trainer] step {step} loss {loss:.4f} "
-                    f"({timer.images_per_sec(cfg.data.batch_size):.1f} img/s)"
+                    f"({scalars['images_per_sec']:.1f} img/s)"
                 )
+
+            if (
+                cfg.dump_debug_images_every
+                and step % cfg.dump_debug_images_every == 0
+            ):
+                self._dump_debug_image(batch, rng, step, tb)
 
             time_due = time.time() - last_save_time > cfg.save_interval_secs
             if step % cfg.save_every_steps == 0 or time_due or step >= max_steps:
@@ -250,4 +270,35 @@ class Trainer:
 
         self._ckpt.wait()
         writer.close()
+        if tb is not None:
+            tb.close()
         return state
+
+    def _dump_debug_image(self, batch: Dict, rng: jax.Array, step: int, tb) -> None:
+        """Dump sample 0 of the augmented batch with its (augmented) GT boxes
+        — the reference's ./Debug/<n>.jpg hook (ref: eval_ron_network.py:
+        240-247, draw_toolbox.py:48-101). Re-runs the augmentation with the
+        step's aug key, so the image is exactly what the train step saw."""
+        from ..data.preprocess import train_augment_batch, unwhiten
+        from ..utils.visualization import draw_boxes
+
+        k_aug, _ = jax.random.split(rng)
+        image01 = batch["image01"]
+        if image01.dtype == jnp.uint8:
+            image01 = image01.astype(jnp.float32) / 255.0
+        image, boxes, labels, valid = train_augment_batch(
+            k_aug,
+            image01,
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            batch["gt_valid"],
+            self.preprocess_config,
+        )
+        img01 = np.clip(np.asarray(unwhiten(image[0].astype(jnp.float32))), 0.0, 1.0)
+        lab = np.where(np.asarray(valid[0]), np.asarray(labels[0]), 0)
+        pil = draw_boxes(img01, np.asarray(boxes[0]), lab)
+        debug_dir = os.path.join(self.config.model_dir, "debug")
+        os.makedirs(debug_dir, exist_ok=True)
+        pil.save(os.path.join(debug_dir, f"step_{step:06d}.jpg"))
+        if tb is not None:
+            tb.image("train/augmented_gt", np.asarray(pil), step)

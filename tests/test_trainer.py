@@ -68,6 +68,7 @@ def tiny_train_config(tmp_path, monkeypatch):
             "optimizer.learning_rate=0.001",
             "optimizer.learning_rate_decay_type=fixed",
             "mesh_shape=[4, 1]",
+            "dump_debug_images_every=2",
         ],
     )
     # working canvas small for speed
@@ -85,6 +86,14 @@ def test_trainer_end_to_end_and_resume(tiny_train_config):
     assert int(state.step) == 4
     # metrics written
     assert os.path.exists(os.path.join(tiny_train_config.model_dir, "metrics.jsonl"))
+    # TensorBoard event file written (content verified in test_tensorboard.py)
+    assert any(
+        f.startswith("events.out.tfevents.")
+        for f in os.listdir(tiny_train_config.model_dir)
+    )
+    # debug image dumps (dump_debug_images_every=2 -> steps 2 and 4)
+    debug = os.path.join(tiny_train_config.model_dir, "debug")
+    assert sorted(os.listdir(debug)) == ["step_000002.jpg", "step_000004.jpg"]
     # checkpoint written
     assert t._ckpt.latest_step() == 4
 
