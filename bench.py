@@ -55,6 +55,13 @@ def main():
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(rng, image[:1], train=False)
+    # fuse_block1: the Pallas whole-block-1 kernel (conv1_1+conv1_2+pool in
+    # VMEM) — same param tree, TPU-only; with the pallas NMS + shared
+    # preselection defaults this is the fastest verified-exact configuration
+    # (see NOTES.md round-2 findings). Init above stays on the CPU backend,
+    # where the fused path must not trace.
+    if jax.devices()[0].platform != "cpu":
+        model = model.clone(fuse_block1=True)
     device = jax.devices()[0]
     variables = jax.device_put(variables, device)
     image = jax.device_put(

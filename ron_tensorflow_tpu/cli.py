@@ -19,6 +19,14 @@ import argparse
 import sys
 
 
+def _preset(kind: str, name):
+    if not name:
+        return None
+    from .presets import get_preset
+
+    return get_preset(kind, name)
+
+
 def cmd_train(args):
     from .config import TrainConfig, load_config
     from .train.trainer import Trainer
@@ -28,26 +36,44 @@ def cmd_train(args):
         overrides.append(f"model_dir={args.model_dir}")
     if args.dataset_dir:
         overrides.append(f"data.dataset_dir={args.dataset_dir}")
-    cfg = load_config(TrainConfig, args.config, overrides)
+    cfg = load_config(
+        TrainConfig, args.config, overrides, base=_preset("train", args.preset)
+    )
     Trainer(cfg).train()
 
 
 def _restore_for_eval(model, spec, model_dir, use_ema=False):
+    """Inference-only restore: params/batch_stats (+EMA) straight from the
+    checkpoint, independent of the optimizer the run was trained with."""
     import jax
-    import jax.numpy as jnp
 
     from .train.checkpoint import CheckpointManager
-    from .train.optimizer import OptimizerConfig, make_optimizer
-    from .train.state import create_train_state
 
-    tx = make_optimizer(OptimizerConfig(learning_rate_decay_type="fixed"))
-    state = create_train_state(
-        model, jax.random.PRNGKey(0), (1, *spec.img_shape, 3), tx, ema=use_ema
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jax.numpy.zeros((1, *spec.img_shape, 3)),
+            train=False,
+        )
     )
+    variables = jax.tree.map(lambda s: jax.numpy.zeros(s.shape, s.dtype), variables)
     mgr = CheckpointManager(model_dir)
-    state = mgr.restore(state)
-    params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
-    return {"params": params, "batch_stats": state.batch_stats}, int(state.step)
+    restored, step = mgr.restore_eval(
+        variables["params"], variables.get("batch_stats", {}), use_ema=use_ema
+    )
+    return restored, step
+
+
+def _maybe_fuse_block1(model, spec):
+    """Enable the Pallas fused block-1 for inference on accelerators (same
+    param tree; TPU-only kernel, so CPU keeps the layer composition)."""
+    import jax
+
+    from .models.vgg import fused_block1_supported
+
+    if jax.devices()[0].platform != "cpu" and fused_block1_supported(*spec.img_shape):
+        return model.clone(fuse_block1=True)
+    return model
 
 
 def cmd_eval(args):
@@ -61,11 +87,18 @@ def cmd_eval(args):
     from .inference.detector import DetectionConfig
     from .models import get_network
 
-    cfg = load_config(EvalConfig, args.config, args.overrides)
+    cfg = load_config(
+        EvalConfig, args.config, args.overrides, base=_preset("eval", args.preset)
+    )
     model_dir = args.model_dir or cfg.model_dir
     dataset_dir = args.dataset_dir or cfg.data.dataset_dir
     model, spec = get_network(cfg.model)
     variables, step = _restore_for_eval(model, spec, model_dir, cfg.use_ema)
+    if cfg.bfloat16:
+        import jax.numpy as jnp
+
+        model = model.clone(dtype=jnp.bfloat16)
+    model = _maybe_fuse_block1(model, spec)
     print(f"[eval] restored step {step}")
 
     files = list_shards(dataset_dir, cfg.data.file_pattern)
@@ -119,6 +152,7 @@ def cmd_realtime_eval(args):
 
     model, spec = get_network(args.model)
     variables, step = _restore_for_eval(model, spec, args.model_dir, args.use_ema)
+    model = _maybe_fuse_block1(model, spec)
     print(f"[ron-eval] restored step {step}")
     rt = RealtimeEvaluator(
         model,
@@ -150,6 +184,7 @@ def cmd_infer(args):
 
     model, spec = get_network(args.model)
     variables, _ = _restore_for_eval(model, spec, args.model_dir, args.use_ema)
+    model = _maybe_fuse_block1(model, spec)
     det = RealtimeDetector(
         model, spec, RealtimeConfig(objectness_threshold=args.objectness_threshold)
     )
@@ -188,20 +223,13 @@ def cmd_convert_data(args):
 
 
 def cmd_inspect_ckpt(args):
-    import jax
-
     from .models import get_network
-    from .train.checkpoint import CheckpointManager, inspect_params
-    from .train.optimizer import OptimizerConfig, make_optimizer
-    from .train.state import create_train_state
+    from .train.checkpoint import inspect_params
 
     model, spec = get_network(args.model)
-    tx = make_optimizer(OptimizerConfig(learning_rate_decay_type="fixed"))
-    state = create_train_state(model, jax.random.PRNGKey(0), (1, *spec.img_shape, 3), tx)
-    mgr = CheckpointManager(args.model_dir)
-    state = mgr.restore(state)
-    print(f"step: {int(state.step)}")
-    for line in inspect_params(state.params, args.pattern):
+    variables, step = _restore_for_eval(model, spec, args.model_dir)
+    print(f"step: {step}")
+    for line in inspect_params(variables["params"], args.pattern):
         print(line)
 
 
@@ -238,6 +266,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     t = sub.add_parser("train", help="train a detector")
+    t.add_argument("--preset", default=None, help="named recipe (ron_320/ssd_300/ssd_512)")
     t.add_argument("--config", default=None)
     t.add_argument("--model-dir", default=None)
     t.add_argument("--dataset-dir", default=None)
@@ -245,6 +274,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="streaming mAP eval on TFRecords")
+    e.add_argument("--preset", default=None, help="named recipe (ron_320/ssd_300/ssd_512)")
     e.add_argument("--config", default=None)
     e.add_argument("--model-dir", default=None)
     e.add_argument("--dataset-dir", default=None)

@@ -93,6 +93,10 @@ class EvalConfig:
     matching_threshold: float = 0.5
     max_batches: Optional[int] = None
     use_ema: bool = False
+    # bf16 inference (matches TrainConfig.bfloat16 and the bench path). Also
+    # sidesteps a libtpu crash for SSD f32 fused forward+postprocess — see
+    # DetectionConfig.split_apply for the f32 escape hatch.
+    bfloat16: bool = True
     # Eval resize strategy (ref: eval_ssd_network.py `eval_resize_option` +
     # ssd_vgg_preprocessing.py:358-425): WARP_RESIZE (default) |
     # CENTRAL_CROP | PAD_AND_RESIZE. ('NONE' needs the realtime evaluator.)
@@ -136,9 +140,12 @@ def _apply_one(cfg, parts, value):
     return dataclasses.replace(cfg, **{parts[0]: _apply_one(child, parts[1:], value)})
 
 
-def load_config(cls, path: Optional[str] = None, overrides: Sequence[str] = ()):
-    """Build a config from an optional JSON file + dotted overrides."""
-    cfg = cls()
+def load_config(
+    cls, path: Optional[str] = None, overrides: Sequence[str] = (), base=None
+):
+    """Build a config from an optional base (preset) + JSON file + dotted
+    overrides; the file replaces the base, overrides apply last."""
+    cfg = base if base is not None else cls()
     if path:
         with open(path) as f:
             data = json.load(f)

@@ -43,12 +43,29 @@ class DetectionConfig:
     nms_threshold: float = 0.4
     nms_mode: str = "min"
     min_size: float = 0.03
-    # TPU speed knobs (exact reference semantics when False/'loop'):
+    # TPU speed knobs (exact reference semantics when False/'loop'/0):
     # approx_top_k uses lax.approx_max_k for candidate selection (~2x faster
-    # postproc, >=95% candidate recall); fixpoint NMS is bit-exact vs the
-    # sequential greedy loop but runs in O(chain-depth) MXU iterations.
+    # postproc, >=95% candidate recall). All NMS methods produce the SAME
+    # keep set (unit-tested): 'loop' = sequential greedy scan, 'fixpoint' =
+    # XLA suppression fixpoint, 'pallas' = VMEM-resident batched fixpoint
+    # kernel (fastest on TPU, ~1.1 ms faster e2e at batch 32), 'auto' =
+    # pallas on accelerators / loop on CPU.
     approx_top_k: bool = True
-    nms_method: str = "fixpoint"  # 'fixpoint' | 'loop'
+    nms_method: str = "auto"  # 'auto' | 'loop' | 'fixpoint' | 'pallas'
+    # Run model.apply and postprocess as two XLA programs instead of one
+    # fused program. Workaround for a libtpu crash ("TPU worker process
+    # crashed", kernel fault) observed ONLY for SSD-300/512 in float32 when
+    # forward+postprocess compile together; bf16 inference (the default
+    # everywhere) and RON are unaffected. Costs ~1 dispatch (~1.5 ms).
+    split_apply: bool = False
+    # Whole-image candidate preselection: one top-K over the per-anchor max
+    # class score; all classes then select among those K candidates instead
+    # of scanning all N anchors per class (~6x less top-k/gather work at
+    # N=21250, K=1000). 0 = off (per-class selection over all anchors, the
+    # reference's semantics). A candidate outside the shared top-K is lost
+    # for EVERY class, so K should comfortably exceed the per-image
+    # detection count; mAP A/B at K=1000 is identical (see NOTES.md).
+    shared_top_k: int = 1000
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,11 +90,25 @@ class Detector:
         self.config = config
         self._anchors = jnp.asarray(spec.anchor_layout().cyxhw)
 
-    @partial(jax.jit, static_argnums=(0,))
     def __call__(self, variables, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """images [B, H, W, 3] (whitened) ->
         (scores [B, C-1, keep_top_k], boxes [B, C-1, keep_top_k, 4])."""
+        if self.config.split_apply:
+            out = self._apply_jit(variables, images)
+            return self._post_jit(out)
+        return self._fused_jit(variables, images)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _fused_jit(self, variables, images):
         out = self.model.apply(variables, images, train=False)
+        return self.postprocess(out)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _apply_jit(self, variables, images):
+        return self.model.apply(variables, images, train=False)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _post_jit(self, out):
         return self.postprocess(out)
 
     def postprocess(self, out):
@@ -89,16 +120,40 @@ class Detector:
         # (ref: eval_ron_network.py:228-229).
         gate = out.objness_pred > cfg.objectness_threshold  # [B, N]
         size_ok = boxops.min_size_mask(decoded, cfg.min_size)  # [B, N]
+        base = gate & size_ok
 
-        # Per-class scores [B, C-1, N]; masked entries zeroed. Boxes are NOT
+        cls = out.predictions[..., 1:]  # [B, N, C-1]
+        scores = jnp.moveaxis(cls, -1, -2)  # [B, C-1, N]
+        if cfg.shared_top_k and cfg.shared_top_k < cls.shape[1]:
+            # Whole-image preselection: one top-K over per-anchor max class
+            # score; per-class work then runs on [K], not [N]. All gathers
+            # use trailing-axis take_along_axis with broadcast indices — the
+            # same lowering as the per-class top-k path below (leading-axis
+            # gathers here triggered a libtpu runtime fault on SSD shapes).
+            m = jnp.where(base, jnp.max(cls, axis=-1), 0.0)  # [B, N]
+            kk = cfg.shared_top_k
+            if cfg.approx_top_k:
+                _, cand = jax.lax.approx_max_k(m, kk)  # [B, K]
+            else:
+                _, cand = jax.lax.top_k(m, kk)
+            scores = jnp.take_along_axis(
+                scores, cand[:, None, :], axis=2
+            )  # [B, C-1, K]
+            decoded = jnp.take_along_axis(
+                decoded[:, None, :, :], cand[:, None, :, None], axis=2
+            )[:, 0]  # [B, K, 4]
+            base = jnp.take_along_axis(base[:, None, :], cand[:, None, :], axis=2)[
+                :, 0
+            ]  # [B, K]
+
+        # Per-class scores [B, C-1, K]; masked entries zeroed. Boxes are NOT
         # materialized per class — they're gathered after top-k, avoiding the
         # reference's per-class box dict (a [B, C, N, 4] tensor at scale).
-        scores = jnp.moveaxis(out.predictions[..., 1:], -1, -2)
-        keep = (gate & size_ok)[:, None, :] & (scores > cfg.select_threshold)
+        keep = base[:, None, :] & (scores > cfg.select_threshold)
         scores = jnp.where(keep, scores, 0.0)
 
         k = min(cfg.top_k, scores.shape[-1])
-        if cfg.approx_top_k and k < scores.shape[-1]:
+        if cfg.approx_top_k and k < scores.shape[-1] and not cfg.shared_top_k:
             top_scores, top_idx = jax.lax.approx_max_k(scores, k)
         else:
             top_scores, top_idx = jax.lax.top_k(scores, k)  # [B, C-1, k]
@@ -110,8 +165,24 @@ class Detector:
             top_scores = jnp.pad(top_scores, ((0, 0), (0, 0), (0, pad)))
             top_boxes = jnp.pad(top_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
+        method = cfg.nms_method
+        if method == "auto":
+            method = "loop" if jax.devices()[0].platform == "cpu" else "pallas"
+        if method == "pallas":
+            from ..kernels import nms_sorted_pallas
+
+            b, c = top_scores.shape[:2]
+            s, bx = nms_sorted_pallas(
+                top_scores.reshape(b * c, -1),
+                top_boxes.reshape(b * c, -1, 4),
+                cfg.nms_threshold,
+                cfg.keep_top_k,
+                cfg.nms_mode,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+            return s.reshape(b, c, -1), bx.reshape(b, c, -1, 4)
         nms_core = (
-            nmsops.nms_sorted_fixpoint if cfg.nms_method == "fixpoint" else nmsops.nms_sorted
+            nmsops.nms_sorted_fixpoint if method == "fixpoint" else nmsops.nms_sorted
         )
         nms_fn = lambda s, b: nms_core(
             s, b, cfg.nms_threshold, cfg.keep_top_k, cfg.nms_mode

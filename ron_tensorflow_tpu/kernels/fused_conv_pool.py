@@ -91,15 +91,16 @@ def _stem_kernel(xa_ref, xb_ref, w_ref, b_ref, out_ref, *, rows, width2, c):
 
 
 def merge_stem_weights(w: jnp.ndarray) -> jnp.ndarray:
-    """[3, 3, c, c] conv kernel -> [3, 6c, 2c] merged taps, row taps stacked on K.
+    """[3, 3, ci, co] conv kernel -> [3, 6ci, 2co] merged taps, row taps
+    stacked on K.
 
     Derivation: with columns merged pairwise (even|odd channel blocks),
       even_out[w2] = W0 @ odd[w2-1] + W1 @ even[w2] + W2 @ odd[w2]
       odd_out[w2]  = W0 @ even[w2]  + W1 @ odd[w2]  + W2 @ even[w2+1]
     giving block matrices for merged shifts d = -1, 0, +1.
     """
-    c = w.shape[2]
-    z = jnp.zeros((c, c), w.dtype)
+    ci, co = w.shape[2], w.shape[3]
+    z = jnp.zeros((ci, co), w.dtype)
     per_shift = {-1: [], 0: [], 1: []}
     for dy in range(3):
         w0, w1, w2 = w[dy, 0], w[dy, 1], w[dy, 2]
@@ -163,6 +164,155 @@ def fused_stem_conv_relu_pool2(
         out_shape=jax.ShapeDtypeStruct((batch, h // 2, width2, c), x.dtype),
         interpret=interpret,
     )(xm, xm, wm, bm)
+
+
+def _merged_conv3x3(x_tile, w_taps, bias, rows_out, width2):
+    """SAME 3x3 conv on a merged-column tile, + bias + ReLU.
+
+    x_tile: [rows_out + 2, width2, 2ci] (one halo row each side).
+    w_taps: [3, 6ci, 2co] merged taps (see merge_stem_weights).
+    bias:   [2co] f32.
+    Returns [rows_out, width2, 2co] f32 (post-ReLU).
+    """
+    two_ci = x_tile.shape[-1]
+    a3 = jnp.concatenate(
+        [x_tile[dy : dy + rows_out] for dy in range(3)], axis=-1
+    ).reshape(rows_out * width2, 3 * two_ci)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_out, width2, 1), 1)
+    acc = None
+    for di, d in enumerate((-1, 0, 1)):
+        p = jax.lax.dot_general(
+            a3,
+            w_taps[di],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(rows_out, width2, -1)
+        if d == 0:
+            acc = p if acc is None else acc + p
+        else:
+            rolled = pltpu.roll(p, (-d) % width2, axis=1)
+            mask = col_ids >= 1 if d == -1 else col_ids < width2 - 1
+            masked = jnp.where(mask, rolled, 0.0)
+            acc = masked if acc is None else acc + masked
+    return jnp.maximum(acc + bias, 0.0)
+
+
+def _block1_kernel(
+    xa_ref, xb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, rows, width2, c, h
+):
+    """Whole VGG block 1 in one pass: conv1_1(3->c) + ReLU + conv1_2(c->c) +
+    ReLU + 2x2/s2 max-pool, merged-column layout throughout. The [H, W, c]
+    intermediates live only in VMEM — HBM sees the [., ., 3] input once and
+    the 4x-smaller pooled output once (vs 4 full-activation round-trips
+    under XLA).
+
+    xa_ref: [1, rows, width2, 6] this row tile (columns pair-merged).
+    xb_ref: [1, rows, width2, 6] next row tile; first 4 rows = bottom halo
+      (2 halo rows per conv).
+    w1_ref: [3, 18, 2c]; b1_ref/b2_ref: [1, 2c]; w2_ref: [3, 6c, 2c].
+    out_ref: [1, rows//2, width2, c].
+    """
+    x_tile = jnp.concatenate([xa_ref[0], xb_ref[0, :4]], axis=0)  # [rows+4, w2, 6]
+    y1 = _merged_conv3x3(
+        x_tile, w1_ref, b1_ref[0, :].astype(jnp.float32), rows + 2, width2
+    )
+    # conv1_2's SAME padding is ZERO outside the image, but halo rows beyond
+    # it would otherwise carry relu(b1) — zero them.
+    g_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows + 2, 1, 1), 0)
+        + pl.program_id(1) * rows
+        - 1
+    )
+    y1 = jnp.where((g_rows >= 0) & (g_rows < h), y1, 0.0).astype(jnp.bfloat16)
+    z = _merged_conv3x3(
+        y1, w2_ref, b2_ref[0, :].astype(jnp.float32), rows, width2
+    )
+    # 2x2/s2 max-pool: row pairs on the sublane dim, column pairs are the
+    # (even, odd) channel halves — lane-roll by c then extract the first c
+    # lanes with an identity matmul (lane-split reshapes are unsupported).
+    z = z.reshape(rows // 2, 2, width2, 2 * c).max(axis=1)
+    zmax = jnp.maximum(z, pltpu.roll(z, c, axis=2))
+    i2c = jax.lax.broadcasted_iota(jnp.int32, (2 * c, c), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (2 * c, c), 1)
+    eye = (i2c == ic).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        zmax.reshape((rows // 2) * width2, 2 * c).astype(jnp.bfloat16),
+        eye,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = out.reshape(rows // 2, width2, c).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_vgg_block1(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """maxpool2(relu(conv1_2(relu(conv1_1(x))))) — VGG block 1 fused.
+
+    x: [B, H, W, 3]; w1: [3, 3, 3, C]; w2: [3, 3, C, C] -> [B, H/2, W/2, C].
+    Inference-only (no autodiff).
+    """
+    batch, h, width, cin = x.shape
+    assert cin == 3 and w1.shape[:3] == (3, 3, 3)
+    c = w1.shape[-1]
+    assert w2.shape == (3, 3, c, c)
+    width2 = width // 2
+
+    rows = None
+    for cand in (32, 16, 12, 8, 4):
+        if h % cand == 0:
+            # y1 f32+bf16 copies + a3 concat dominate VMEM
+            tile_bytes = (cand + 2) * width2 * 2 * c * (4 + 2) * 3
+            if tile_bytes < 10 * 1024 * 1024:
+                rows = cand
+                break
+    assert rows is not None, (
+        f"no usable row tile for H={h} (see models/vgg.fused_block1_supported)"
+    )
+
+    n_tiles = h // rows
+    # 2 top halo rows; bottom rounded up one extra tile for the halo fetch.
+    xp = jnp.pad(x, ((0, 0), (2, (n_tiles + 1) * rows - h - 2), (0, 0), (0, 0)))
+    xm = xp.reshape(batch, (n_tiles + 1) * rows, width2, 6).astype(jnp.bfloat16)
+    w1m = merge_stem_weights(w1).astype(jnp.bfloat16)  # [3, 18, 2c]
+    w2m = merge_stem_weights(w2).astype(jnp.bfloat16)  # [3, 6c, 2c]
+    b1m = jnp.concatenate([b1, b1]).reshape(1, 2 * c)
+    b2m = jnp.concatenate([b2, b2]).reshape(1, 2 * c)
+
+    kernel = functools.partial(_block1_kernel, rows=rows, width2=width2, c=c, h=h)
+    tile_spec = lambda off: pl.BlockSpec(
+        (1, rows, width2, 6),
+        lambda bi, ri, _off=off: (bi, ri + _off, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda bi, ri: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch, n_tiles),
+        in_specs=[
+            tile_spec(0),
+            tile_spec(1),
+            const_spec((3, 18, 2 * c)),
+            const_spec((1, 2 * c)),
+            const_spec((3, 6 * c, 2 * c)),
+            const_spec((1, 2 * c)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows // 2, width2, c),
+            lambda bi, ri: (bi, ri, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, h // 2, width2, c), x.dtype),
+        interpret=interpret,
+    )(xm, xm, w1m, b1m, w2m, b2m)
 
 
 def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, rows, width, cin, cout):

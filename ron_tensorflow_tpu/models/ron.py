@@ -186,6 +186,7 @@ class RON(nn.Module):
     spec: DetectorSpec = RON_320_SPEC
     backbone_variant: str = "reduced"  # 'reduced' | 'heavy'
     dtype: Any = jnp.float32
+    fuse_block1: bool = False  # inference-only Pallas block-1 (see vgg.py)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> DetectorOutputs:
@@ -193,7 +194,10 @@ class RON(nn.Module):
         spec = self.spec
         x = images.astype(self.dtype)
         end_points = VGG16Backbone(
-            variant=self.backbone_variant, dtype=self.dtype, name="backbone"
+            variant=self.backbone_variant,
+            dtype=self.dtype,
+            fuse_block1=self.fuse_block1 and not train,
+            name="backbone",
         )(x)
 
         logits_l, objl_l, locs_l = [], [], []

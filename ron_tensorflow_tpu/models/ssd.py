@@ -136,6 +136,7 @@ class SSD(nn.Module):
     spec: DetectorSpec = SSD_300_SPEC
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
+    fuse_block1: bool = False  # inference-only Pallas block-1 (see vgg.py)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> DetectorOutputs:
@@ -144,10 +145,19 @@ class SSD(nn.Module):
         conv = lambda f, name, **kw: Conv(features=f, dtype=self.dtype, name=name, **kw)
 
         end_points = {}
-        x = conv(64, "conv1_1")(x)
-        x = conv(64, "conv1_2")(x)
-        end_points["block1"] = x
-        x = max_pool_2x2(x)
+        if self.fuse_block1 and not train:
+            from ..kernels import fused_vgg_block1
+            from .vgg import _ConvKernelBias, fused_block1_supported
+
+            assert fused_block1_supported(x.shape[1], x.shape[2])
+            w1, b1 = _ConvKernelBias((3, 3, 3, 64), name="conv1_1")()
+            w2, b2 = _ConvKernelBias((3, 3, 64, 64), name="conv1_2")()
+            x = fused_vgg_block1(x, w1, b1, w2, b2)
+        else:
+            x = conv(64, "conv1_1")(x)
+            x = conv(64, "conv1_2")(x)
+            end_points["block1"] = x
+            x = max_pool_2x2(x)
         x = conv(128, "conv2_1")(x)
         x = conv(128, "conv2_2")(x)
         end_points["block2"] = x

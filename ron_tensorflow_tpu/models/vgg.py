@@ -17,6 +17,39 @@ import jax.numpy as jnp
 from .layers import Conv, max_pool_2x2
 
 
+class _ConvKernelBias(nn.Module):
+    """Bare conv parameters under the same tree path as `Conv` (name/conv/
+    {kernel,bias}) so fused Pallas paths share checkpoints with the layer
+    composition."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        inner = _KernelBias(shape=self.shape, name="conv")
+        return inner()
+
+
+class _KernelBias(nn.Module):
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(), self.shape, jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.shape[-1],), jnp.float32
+        )
+        return kernel, bias
+
+
+def fused_block1_supported(height: int, width: int) -> bool:
+    """The fused block-1 Pallas kernel needs an even width and a row tile
+    that divides H (see kernels/fused_conv_pool.fused_vgg_block1)."""
+    return width % 2 == 0 and any(height % r == 0 for r in (32, 16, 12, 8, 4))
+
+
 class VGG16Backbone(nn.Module):
     """VGG-16 feature extractor with detection-style fc6/fc7 conv heads.
 
@@ -29,16 +62,32 @@ class VGG16Backbone(nn.Module):
 
     variant: str = "reduced"
     dtype: Any = jnp.float32
+    # Inference-only: run block 1 (conv1_1+conv1_2+pool) as one Pallas kernel
+    # — the full-resolution intermediates never touch HBM. Same param tree,
+    # so a flag flip on a trained checkpoint is safe. No autodiff; the
+    # `block1` (pre-pool) endpoint is not materialized (no RON/SSD head
+    # consumes it).
+    fuse_block1: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         conv = lambda f, name, **kw: Conv(features=f, dtype=self.dtype, name=name, **kw)
         end_points = {}
 
-        x = conv(64, "conv1_1")(x)
-        x = conv(64, "conv1_2")(x)
-        end_points["block1"] = x
-        x = max_pool_2x2(x)
+        if self.fuse_block1:
+            from ..kernels import fused_vgg_block1
+
+            assert fused_block1_supported(x.shape[1], x.shape[2]), (
+                f"fuse_block1 unsupported for input {x.shape}"
+            )
+            w1, b1 = _ConvKernelBias((3, 3, 3, 64), name="conv1_1")()
+            w2, b2 = _ConvKernelBias((3, 3, 64, 64), name="conv1_2")()
+            x = fused_vgg_block1(x.astype(self.dtype), w1, b1, w2, b2)
+        else:
+            x = conv(64, "conv1_1")(x)
+            x = conv(64, "conv1_2")(x)
+            end_points["block1"] = x
+            x = max_pool_2x2(x)
         x = conv(128, "conv2_1")(x)
         x = conv(128, "conv2_2")(x)
         end_points["block2"] = x

@@ -87,6 +87,46 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint in {self._dir}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
 
+    def restore_eval(
+        self,
+        params_like,
+        batch_stats_like,
+        step: Optional[int] = None,
+        use_ema: bool = False,
+    ):
+        """Restore only what inference needs — params, batch_stats and (if
+        requested and present) ema_params — independent of the optimizer
+        chain the checkpoint was trained with (opt_state is not touched, so
+        eval never needs the training OptimizerConfig).
+
+        Returns (variables_dict, step).
+        """
+        import orbax.checkpoint as ocp
+
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self._dir}")
+        path = os.path.join(self._dir, str(step), "default")
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+        def attempt(item):
+            return ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(item=item, partial_restore=True)
+            )
+
+        base = {"params": params_like, "batch_stats": batch_stats_like}
+        if use_ema:
+            try:
+                out = attempt({**base, "ema_params": params_like})
+                params = out["ema_params"]
+                if params is None:  # saved without EMA
+                    params = out["params"]
+                return {"params": params, "batch_stats": out["batch_stats"]}, step
+            except (ValueError, KeyError):
+                pass  # checkpoint predates EMA — fall through to raw params
+        out = attempt(base)
+        return {"params": out["params"], "batch_stats": out["batch_stats"]}, step
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

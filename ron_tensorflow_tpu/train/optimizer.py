@@ -37,6 +37,14 @@ class OptimizerConfig:
     lr_factors: Sequence[float] = (1.0, 0.1, 0.001)
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    # linear LR warmup from 0 over the first N steps (0 = off). Not a
+    # reference flag — needed when training detection heads from scratch
+    # (no pretrained backbone), where the first hard-mined batches explode.
+    warmup_steps: int = 0
+    # global-norm gradient clipping (0 = off). Not a reference flag; same
+    # motivation as warmup_steps (the SSD loss sums over mined anchors and
+    # early gradients can overflow bf16 activations).
+    clip_global_norm: float = 0.0
     # per-optimizer knobs (reference flag defaults, ref: ron_net.py:66-145)
     adadelta_rho: float = 0.95
     adagrad_initial_accumulator_value: float = 0.1
@@ -53,6 +61,18 @@ class OptimizerConfig:
 
 def make_learning_rate_schedule(cfg: OptimizerConfig) -> optax.Schedule:
     """Build the LR schedule (ref: tf_utils.py:92-124 + ron_net.py:354-356)."""
+    base = _base_schedule(cfg)
+    if not cfg.warmup_steps:
+        return base
+
+    def with_warmup(step):
+        scale = jnp.minimum(1.0, (step + 1) / cfg.warmup_steps)
+        return scale * base(step)
+
+    return with_warmup
+
+
+def _base_schedule(cfg: OptimizerConfig) -> optax.Schedule:
     if cfg.learning_rate_decay_type == "fixed":
         return optax.constant_schedule(cfg.learning_rate)
     if cfg.learning_rate_decay_type == "exponential":
@@ -166,6 +186,8 @@ def make_optimizer(cfg: OptimizerConfig, params_example=None) -> optax.GradientT
         raise ValueError(f"unknown optimizer {name!r}")
 
     parts = []
+    if cfg.clip_global_norm:
+        parts.append(optax.clip_by_global_norm(cfg.clip_global_norm))
     if cfg.weight_decay:
         parts.append(optax.add_decayed_weights(cfg.weight_decay, kernel_weight_decay_mask))
     parts.append(core)

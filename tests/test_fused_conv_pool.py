@@ -33,6 +33,35 @@ def test_fused_kernel_parity_interpret(fn):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
 
 
+@pytest.mark.parametrize("shape", [(2, 16, 16), (1, 64, 8)])
+def test_fused_block1_parity_interpret(shape):
+    # (1, 64, 8) splits into two 32-row tiles — covers the inter-tile halo.
+    from ron_tensorflow_tpu.kernels import fused_vgg_block1
+
+    rng = np.random.default_rng(2)
+    c = 8
+    x = jnp.asarray(rng.normal(size=(*shape, 3)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, c)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+
+    def conv(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.nn.relu(y + b)
+
+    ref = nn.max_pool(
+        conv(conv(x, w1, b1), w2, b2).astype(jnp.float32), (2, 2), (2, 2), "SAME"
+    )
+    out = fused_vgg_block1(x, w1, b1, w2, b2, interpret=True)
+    assert out.shape == ref.shape == (shape[0], shape[1] // 2, shape[2] // 2, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=1e-2)
+
+
 def test_fused_kernel_rect_channels():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)

@@ -143,6 +143,49 @@ def test_detector_default_config_runs_and_ranks():
     assert all(np.all(np.diff(row[row > 0]) <= 0) for row in flat)
 
 
+def _sparse_outputs(rng, batch=2, live=30):
+    """Outputs where only `live` anchors per image carry real class scores —
+    the regime where shared preselection must be lossless."""
+    layout = RON_TINY_SPEC.anchor_layout()
+    n = layout.num_anchors
+    c = RON_TINY_SPEC.num_classes
+    preds = np.full((batch, n, c), 0.01, np.float32)
+    for b in range(batch):
+        idx = rng.choice(n, size=live, replace=False)
+        for i in idx:
+            preds[b, i, 1 + rng.integers(c - 1)] = rng.uniform(0.3, 0.9)
+    locs = rng.normal(0, 0.2, (batch, n, 4)).astype(np.float32)
+    ones = jnp.ones((batch, n), jnp.float32)
+    return DetectorOutputs(
+        predictions=jnp.asarray(preds),
+        logits=jnp.log(jnp.asarray(preds)),
+        objness_pred=ones,
+        objness_logits=jnp.stack([jnp.zeros_like(ones), ones], -1),
+        locations=jnp.asarray(locs),
+    )
+
+
+def test_detector_shared_preselect_lossless_when_k_covers_live_set():
+    """shared_top_k smaller than N but larger than the live candidate count
+    must reproduce the full per-class scan bit-exactly."""
+    out = _sparse_outputs(np.random.default_rng(3))
+    base = dict(approx_top_k=False, select_threshold=0.1, objectness_threshold=0.0)
+    s_full, b_full = _detector(shared_top_k=0, **base).postprocess(out)
+    s_pre, b_pre = _detector(shared_top_k=48, **base).postprocess(out)
+    np.testing.assert_array_equal(np.asarray(s_full), np.asarray(s_pre))
+    np.testing.assert_array_equal(np.asarray(b_full), np.asarray(b_pre))
+    assert (np.asarray(s_full) > 0).sum() > 0
+
+
+def test_detector_pallas_nms_equals_loop():
+    out = _tiny_outputs(np.random.default_rng(4))
+    base = dict(approx_top_k=False, select_threshold=0.005, objectness_threshold=0.0)
+    s_loop, b_loop = _detector(nms_method="loop", **base).postprocess(out)
+    s_pal, b_pal = _detector(nms_method="pallas", **base).postprocess(out)
+    np.testing.assert_array_equal(np.asarray(s_loop), np.asarray(s_pal))
+    np.testing.assert_array_equal(np.asarray(b_loop), np.asarray(b_pal))
+
+
 def test_approx_max_k_recall_at_ron320_scale():
     """Candidate recall of lax.approx_max_k vs exact top_k at the real
     RON-320 problem size (N=21250, k=200) — the basis for the default

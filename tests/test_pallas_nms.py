@@ -5,7 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from ron_tensorflow_tpu.kernels.nms_pallas import nms_sorted_pallas, pallas_nms_keep_mask
+from ron_tensorflow_tpu.kernels.nms_pallas import (
+    nms_sorted_pallas,
+    pallas_nms_fixpoint_keep_mask,
+    pallas_nms_keep_mask,
+)
 from ron_tensorflow_tpu.ops import nms as nmsops
 
 
@@ -36,10 +40,37 @@ def test_pallas_keep_mask_matches_loop(mode):
         )
 
 
-def test_pallas_compaction_matches_reference():
+@pytest.mark.parametrize("method", ["scan", "fixpoint"])
+def test_pallas_compaction_matches_reference(method):
     scores, boxes = random_rows(1)
-    s_p, b_p = nms_sorted_pallas(scores, boxes, 0.45, 16, "min", interpret=True)
+    s_p, b_p = nms_sorted_pallas(
+        scores, boxes, 0.45, 16, "min", interpret=True, method=method
+    )
     for r in range(scores.shape[0]):
         s_ref, b_ref = nmsops.nms_sorted(scores[r], boxes[r], 0.45, 16, "min")
         np.testing.assert_allclose(np.asarray(s_p[r]), np.asarray(s_ref), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(b_p[r]), np.asarray(b_ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["union", "min"])
+def test_pallas_fixpoint_long_chain_and_cap(mode):
+    """Adversarial inputs for the fixpoint: a deep suppression chain (depth ~
+    n) and cap saturation — must equal the sequential greedy keep set."""
+    n = 48
+    ys = 0.05 + 0.02 * np.arange(n)
+    chain = np.stack([ys, ys, ys + 0.1, ys + 0.1], 1).astype(np.float32)
+    chain_scores = np.linspace(0.99, 0.4, n).astype(np.float32)
+    # disjoint boxes hitting the keep_top_k cap
+    ys2 = np.linspace(0.0, 0.87, n).astype(np.float32)
+    disjoint = np.stack([ys2, ys2, ys2 + 0.02, ys2 + 0.02], 1)
+    dj_scores = -np.sort(-np.random.default_rng(3).uniform(0.1, 1, n)).astype(np.float32)
+
+    scores = jnp.asarray(np.stack([chain_scores, dj_scores]))
+    boxes = jnp.asarray(np.stack([chain, disjoint]))
+    s_p, b_p = nms_sorted_pallas(
+        scores, boxes, 0.45, 8, mode, interpret=True, method="fixpoint"
+    )
+    for r in range(2):
+        s_ref, b_ref = nmsops.nms_sorted(scores[r], boxes[r], 0.45, 8, mode)
+        np.testing.assert_array_equal(np.asarray(s_p[r]), np.asarray(s_ref))
+        np.testing.assert_array_equal(np.asarray(b_p[r]), np.asarray(b_ref))

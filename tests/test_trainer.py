@@ -103,3 +103,62 @@ def test_trainer_end_to_end_and_resume(tiny_train_config):
     t2 = Trainer(replace(tiny_train_config, max_steps=6))
     state2 = t2.train()
     assert int(state2.step) == 6
+
+
+def test_trainer_time_based_save(tiny_train_config, tmp_path):
+    """save_interval_secs triggers checkpoints between save_every_steps marks
+    (ref: ron_net.py:415 save_interval_secs)."""
+    from dataclasses import replace
+
+    from ron_tensorflow_tpu.train.trainer import Trainer
+
+    cfg = replace(
+        tiny_train_config,
+        model_dir=str(tmp_path / "timed"),
+        max_steps=3,
+        save_every_steps=1000,  # never due by step count
+        save_interval_secs=0.0,  # always due by time
+        dump_debug_images_every=0,
+        tensorboard=False,
+    )
+    t = Trainer(cfg)
+    t.train()
+    # every step checkpointed: time_due after each step
+    assert sorted(t._ckpt._mgr.all_steps()) == [1, 2, 3]
+
+
+def test_trainer_float32_transport_branch(tiny_train_config, tmp_path):
+    """The batches= hook feeds float01 images (the non-uint8 branch of
+    full_step); make_batches covers the uint8 branch in the e2e test."""
+    from dataclasses import replace
+
+    from ron_tensorflow_tpu.train.trainer import Trainer
+
+    cfg = replace(
+        tiny_train_config,
+        model_dir=str(tmp_path / "float_model"),
+        max_steps=2,
+        dump_debug_images_every=0,
+        tensorboard=False,
+    )
+    t = Trainer(cfg)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {
+                "image01": rng.uniform(0, 1, (4, 128, 128, 3)).astype(np.float32),
+                "gt_boxes": np.tile(
+                    np.array([[[0.2, 0.2, 0.7, 0.7]] + [[0.0] * 4] * 7], np.float32),
+                    (4, 1, 1),
+                ),
+                "gt_labels": np.tile(
+                    np.array([[3] + [0] * 7], np.int32), (4, 1)
+                ),
+                "gt_valid": np.tile(
+                    np.array([[True] + [False] * 7]), (4, 1)
+                ),
+            }
+
+    state = t.train(batches=batches())
+    assert int(state.step) == 2

@@ -1,0 +1,82 @@
+"""A/B held-out mAP across DetectionConfig variants on a trained synthetic
+checkpoint (from tools/synthetic_e2e.py's work dir). Validates that the TPU
+speed knobs (shared_top_k preselection, approx_top_k, NMS method) do not
+change detection quality.
+
+Usage:
+  PYTHONPATH=.:/root/.axon_site python tools/ab_detection_config.py \
+      /tmp/synth_e2e_XXXX [model_name]
+"""
+
+import os
+import sys
+from dataclasses import replace
+
+import jax
+import numpy as np
+
+
+def main():
+    work = sys.argv[1]
+    model_name = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SYNTH_MODEL", "ron_320_vgg"
+    )
+
+    from ron_tensorflow_tpu.data.pipeline import PipelineConfig, batch_iterator
+    from ron_tensorflow_tpu.data.preprocess import whiten
+    from ron_tensorflow_tpu.eval import StreamingEvaluator
+    from ron_tensorflow_tpu.inference.detector import DetectionConfig
+    from ron_tensorflow_tpu.models import get_network
+    from ron_tensorflow_tpu.train.checkpoint import CheckpointManager
+
+    model, spec = get_network(model_name)
+    model = model.clone(dtype=jax.numpy.bfloat16)  # production inference mode
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jax.numpy.zeros((1, *spec.img_shape, 3)),
+            train=False,
+        )
+    )
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    variables, step = CheckpointManager(os.path.join(work, "model")).restore_eval(
+        zeros["params"], zeros.get("batch_stats", {})
+    )
+    print(f"[ab] {model_name} @ step {step}")
+
+    test_files = [os.path.join(work, "records", "synth_test_000.tfrecord")]
+    pcfg = PipelineConfig(batch_size=8, working_shape=spec.img_shape, max_boxes=8,
+                          shuffle=False, keep_difficult=True)
+
+    def eval_batches():
+        for hb in batch_iterator(test_files, pcfg, epochs=1, drop_remainder=False):
+            yield {
+                "image": np.asarray(whiten(hb["image01"])),
+                "gt_labels": hb["gt_labels"],
+                "gt_boxes": hb["gt_boxes"],
+                "gt_difficult": hb["gt_difficult"],
+                "sample_valid": hb["sample_valid"],
+            }
+
+    base = DetectionConfig(select_threshold=0.05, objectness_threshold=0.03)
+    variants = {
+        "exact reference (no knobs)": replace(
+            base, shared_top_k=0, approx_top_k=False, nms_method="loop"
+        ),
+        "approx_top_k only": replace(base, shared_top_k=0, nms_method="loop"),
+        "shipping defaults": base,
+        "pallas NMS": replace(base, nms_method="pallas"),
+        "fixpoint NMS": replace(base, nms_method="fixpoint"),
+    }
+    for name, cfg in variants.items():
+        ev = StreamingEvaluator(model, spec, cfg)
+        map07, map12, aps, stats = ev.run(variables, eval_batches(), log_every=0)
+        used = [v for c, v in aps.items() if c <= 6 and v >= 0]
+        print(
+            f"{name:28s}: mAP07(classes 1-6) {np.mean(used):.4f}  "
+            f"all-class mAP07 {map07:.4f}  mAP12 {map12:.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,8 @@ def main():
     print(f"dataset at {data_dir} (canvas {canvas}, model {model_name})")
 
     steps = int(os.environ.get("SYNTH_STEPS", "1500"))
+    lr = os.environ.get("SYNTH_LR", "0.003")
+    warmup = os.environ.get("SYNTH_WARMUP", "0")
     cfg = apply_overrides(
         TrainConfig(),
         [
@@ -97,7 +99,9 @@ def main():
             f"max_steps={steps}",
             "log_every_steps=100",
             "save_every_steps=1000",
-            "optimizer.learning_rate=0.003",
+            f"optimizer.learning_rate={lr}",
+            f"optimizer.warmup_steps={warmup}",
+            f"optimizer.clip_global_norm={os.environ.get('SYNTH_CLIP', '0')}",
             "optimizer.learning_rate_decay_type=piecewise",
             f"optimizer.lr_boundaries=[{int(steps * 0.6)}, {int(steps * 0.85)}]",
             "optimizer.lr_factors=[1.0, 0.1, 0.01]",
@@ -113,6 +117,7 @@ def main():
                  "batch_stats": jax.device_get(state.batch_stats)}
 
     model, spec = get_network(model_name)
+    model = model.clone(dtype=jax.numpy.bfloat16)  # production inference mode
     ev = StreamingEvaluator(
         model, spec,
         DetectionConfig(top_k=64 if model_name == "ron_tiny_vgg" else 200,
