@@ -39,7 +39,13 @@ def _crc_table() -> np.ndarray:
 
 
 def crc32c(data: bytes) -> int:
-    """Castagnoli CRC-32 (slice-by-one table; fine for shard IO)."""
+    """Castagnoli CRC-32: native slice-by-8 C kernel (data/native.py, ~GB/s)
+    with a pure-python table fallback."""
+    from . import native
+
+    fast = native.crc32c(data)
+    if fast is not None:
+        return fast
     try:  # zlib-speed path if the optional wheel exists
         import crc32c as _c  # type: ignore
 
@@ -84,7 +90,25 @@ class TFRecordWriter:
 
 
 def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
-    """Iterate raw records of one shard."""
+    """Iterate raw records of one shard.
+
+    Native path: the whole shard is scanned (framing + BOTH masked CRCs
+    verified — integrity checking is ~free in C, so it is always on) and
+    payloads are sliced out. Falls back to the streaming python reader when
+    no compiler is available.
+    """
+    from . import native
+
+    if native.get_lib() is not None:
+        with open(path, "rb") as f:
+            buf = f.read()
+        try:
+            offsets, lengths = native.scan_records(buf, verify=True)
+        except IOError as e:
+            raise IOError(f"{path}: {e}") from None
+        for off, length in zip(offsets.tolist(), lengths.tolist()):
+            yield buf[off : off + length]
+        return
     with open(path, "rb") as f:
         while True:
             header = f.read(8)

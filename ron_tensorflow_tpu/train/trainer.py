@@ -212,7 +212,13 @@ class Trainer:
             ),
         )
         state = jax.device_put(state, state_shardings)
-        step_fn = jax.jit(self._full_step, in_shardings=(state_shardings, None, None))
+        # donate the state: params/opt_state/EMA update in place instead of
+        # allocating (and copying) a fresh ~3x-params footprint every step.
+        step_fn = jax.jit(
+            self._full_step,
+            in_shardings=(state_shardings, None, None),
+            donate_argnums=(0,),
+        )
 
         writer = MetricsWriter(cfg.model_dir)
         tb = None
