@@ -125,6 +125,11 @@ def cmd_eval(args):
                 "sample_valid": hb["sample_valid"],
             }
 
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(tuple(cfg.mesh_shape))
     ev = StreamingEvaluator(
         model,
         spec,
@@ -136,6 +141,7 @@ def cmd_eval(args):
             nms_threshold=cfg.nms_threshold,
         ),
         cfg.matching_threshold,
+        mesh=mesh,
     )
     map07, map12, aps07, stats = ev.run(variables, eval_batches(), cfg.max_batches)
     for cls, ap in sorted(aps07.items()):

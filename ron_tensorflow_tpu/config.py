@@ -97,6 +97,10 @@ class EvalConfig:
     # sidesteps a libtpu crash for SSD f32 fused forward+postprocess — see
     # DetectionConfig.split_apply for the f32 escape hatch.
     bfloat16: bool = True
+    # Multi-chip data-parallel eval: shard each batch over a (data, model)
+    # mesh (None = single device, the reference's behavior). batch_size must
+    # be divisible by the data-axis size.
+    mesh_shape: Optional[Tuple[int, int]] = None
     # Eval resize strategy (ref: eval_ssd_network.py `eval_resize_option` +
     # ssd_vgg_preprocessing.py:358-425): WARP_RESIZE (default) |
     # CENTRAL_CROP | PAD_AND_RESIZE. ('NONE' needs the realtime evaluator.)

@@ -28,10 +28,23 @@ class StreamingEvaluator:
         spec,
         config: DetectionConfig = DetectionConfig(),
         matching_threshold: float = 0.5,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — shards every eval batch over
+        the 'data' axis (multi-chip data-parallel inference; params are
+        replicated). The reference ran eval strictly single-device
+        (ref: eval_ron_network.py:137-366); batch_size must be divisible by
+        the data-axis size."""
+        if mesh is not None and config.nms_method in ("auto", "pallas"):
+            import dataclasses
+
+            # Pallas custom calls do not partition under GSPMD — pick the
+            # XLA-native fixpoint for sharded eval.
+            config = dataclasses.replace(config, nms_method="fixpoint")
         self.detector = Detector(model, spec, config)
         self.spec = spec
         self.matching_threshold = matching_threshold
+        self.mesh = mesh
         self._match = jax.jit(
             lambda s, b, gl, gb, gd: jax.vmap(
                 lambda s1, b1, gl1, gb1, gd1: match_all_classes(
@@ -54,16 +67,36 @@ class StreamingEvaluator:
         acc = StreamingTpFp(self.spec.num_classes)
         n_images = 0
         t_start = time.time()
+        batch_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(self.mesh, P("data"))
+            variables = jax.device_put(
+                variables,
+                jax.tree.map(lambda _: NamedSharding(self.mesh, P()), variables),
+            )
         for bi, batch in enumerate(batches):
             if max_batches is not None and bi >= max_batches:
                 break
-            scores, boxes = self.detector(variables, batch["image"])
+            image = batch["image"]
+            gt_labels = batch["gt_labels"]
+            gt_boxes = batch["gt_boxes"]
+            gt_difficult = batch["gt_difficult"]
+            if batch_sharding is not None:
+                image = jax.device_put(image, batch_sharding)
+                gt_labels = jax.device_put(jnp.asarray(gt_labels), batch_sharding)
+                gt_boxes = jax.device_put(jnp.asarray(gt_boxes), batch_sharding)
+                gt_difficult = jax.device_put(
+                    jnp.asarray(gt_difficult), batch_sharding
+                )
+            scores, boxes = self.detector(variables, image)
             res = self._match(
                 scores,
                 boxes,
-                batch["gt_labels"],
-                batch["gt_boxes"],
-                batch["gt_difficult"],
+                gt_labels,
+                gt_boxes,
+                gt_difficult,
             )
             scores_np = np.asarray(scores)
             n_gt = np.asarray(res.n_gt)

@@ -120,6 +120,7 @@ def test_cli_eval(cli_workspace, capsys):
             "select_top_k=64",
             "keep_top_k=16",
             "max_batches=1",
+            "mesh_shape=[2, 1]",  # sharded data-parallel eval path
         ]
     )
     out = capsys.readouterr().out

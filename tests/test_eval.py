@@ -151,3 +151,45 @@ def test_streaming_evaluator_tiny_model():
     map07, map12, aps, stats = ev.run(variables, batches(), log_every=0)
     assert stats["images"] == 4
     assert 0.0 <= map07 <= 1.0 and 0.0 <= map12 <= 1.0
+
+
+def test_streaming_evaluator_sharded_mesh_matches_single_device():
+    """Multi-chip data-parallel eval: batch sharded over an 8-device mesh
+    must reproduce the single-device metrics exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ron_tensorflow_tpu.eval import StreamingEvaluator
+    from ron_tensorflow_tpu.inference.detector import DetectionConfig
+    from ron_tensorflow_tpu.models.ron import RON
+    from ron_tensorflow_tpu.models.testing import RON_TINY_SPEC
+    from ron_tensorflow_tpu.parallel import make_mesh
+
+    model = RON(spec=RON_TINY_SPEC)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    cfg = DetectionConfig(top_k=64, keep_top_k=16, objectness_threshold=0.0)
+
+    def batches():
+        rng = np.random.default_rng(4)
+        for _ in range(2):
+            yield {
+                "image": rng.normal(0, 1, (8, 64, 64, 3)).astype(np.float32),
+                "gt_labels": np.tile(np.array([[3, 0]], np.int32), (8, 1)),
+                "gt_boxes": np.tile(
+                    np.array([[[0.2, 0.2, 0.6, 0.6], [0, 0, 0, 0]]], np.float32),
+                    (8, 1, 1),
+                ),
+                "gt_difficult": np.zeros((8, 2), np.int32),
+            }
+
+    single = StreamingEvaluator(model, RON_TINY_SPEC, cfg)
+    m07_s, m12_s, aps_s, stats_s = single.run(variables, batches(), log_every=0)
+
+    mesh = make_mesh((8, 1))
+    sharded = StreamingEvaluator(model, RON_TINY_SPEC, cfg, mesh=mesh)
+    m07_m, m12_m, aps_m, stats_m = sharded.run(variables, batches(), log_every=0)
+
+    assert stats_m["images"] == stats_s["images"] == 16
+    assert m07_m == pytest.approx(m07_s, abs=1e-9)
+    assert m12_m == pytest.approx(m12_s, abs=1e-9)
+    assert aps_m == pytest.approx(aps_s, abs=1e-9)
