@@ -239,6 +239,85 @@ def cmd_inspect_ckpt(args):
         print(line)
 
 
+def cmd_import_ckpt(args):
+    """Convert a reference-framework checkpoint (TF slim / torch / caffe)
+    into an orbax model_dir so eval / realtime-eval / infer can restore it
+    directly — the reference-user migration path (ref: tf_utils.py:186-244
+    warm start; eval_ssd_network.py:209-217 checkpoint restore)."""
+    import jax
+    import numpy as np
+
+    from .models import get_network
+    from .train.checkpoint import (
+        CheckpointManager,
+        load_torch_checkpoint,
+        torch_vgg_to_flat,
+        unflatten_params,
+        warm_start_params,
+    )
+    from .train.optimizer import OptimizerConfig, make_optimizer
+    from .train.state import create_train_state
+
+    model, spec = get_network(args.model)
+    stats_flat = {}
+    if args.format == "tf":
+        from .train.tf_checkpoint import (
+            TFCheckpointReader,
+            slim_ron_to_flat,
+            slim_vgg_to_flat,
+        )
+
+        tensors = TFCheckpointReader(args.source).load_all()
+        if any(n.startswith("reverse_module/") for n in tensors):
+            # full RON graph (backbone + reverse modules + heads + BN)
+            flat, stats_flat = slim_ron_to_flat(
+                tensors, source_scope=args.model_scope or "ron_320_vgg"
+            )
+        else:
+            flat = slim_vgg_to_flat(
+                tensors, source_scope=args.model_scope or "vgg_16"
+            )
+    elif args.format == "torch":
+        flat = torch_vgg_to_flat(
+            load_torch_checkpoint(args.source), bgr_to_rgb=args.bgr_to_rgb
+        )
+    elif args.format == "caffe":
+        from .train.caffe_import import caffe_vgg_to_flat, parse_caffemodel
+
+        flat = caffe_vgg_to_flat(
+            parse_caffemodel(args.source), bgr_to_rgb=args.bgr_to_rgb
+        )
+    else:
+        raise ValueError(f"unknown format {args.format!r}")
+
+    tx = make_optimizer(OptimizerConfig(learning_rate_decay_type="fixed"))
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (1, *spec.img_shape, 3), tx
+        )
+    params = warm_start_params(state.params, flat, exclude_scopes=())
+    batch_stats = state.batch_stats
+    if stats_flat:
+        batch_stats = unflatten_params(
+            {
+                **{k: np.asarray(v) for k, v in _flat(batch_stats).items()},
+                **{k: np.asarray(v) for k, v in stats_flat.items()},
+            }
+        )
+    state = state.replace(params=params, batch_stats=batch_stats)
+    mgr = CheckpointManager(args.model_dir)
+    mgr.save(0, jax.device_get(state))
+    mgr.wait()
+    print(f"imported {args.format} checkpoint -> {args.model_dir} (step 0)")
+
+
+def _flat(tree):
+    from .train.checkpoint import flatten_params
+
+    return flatten_params(tree)
+
+
 def cmd_bench(args):
     import runpy
 
@@ -313,6 +392,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output-name", default="voc_2007_train")
     c.add_argument("--shuffle-seed", type=int, default=None)
     c.set_defaults(fn=cmd_convert_data)
+
+    m = sub.add_parser(
+        "import-ckpt", help="convert a TF/torch/caffe checkpoint to a model dir"
+    )
+    m.add_argument("--format", required=True, choices=("tf", "torch", "caffe"))
+    m.add_argument("--source", required=True, help="checkpoint path/prefix")
+    m.add_argument("--model", default="ron_320_vgg")
+    m.add_argument("--model-dir", required=True)
+    m.add_argument("--model-scope", default=None, help="source graph scope name")
+    m.add_argument("--bgr-to-rgb", action="store_true")
+    m.set_defaults(fn=cmd_import_ckpt)
 
     k = sub.add_parser("inspect-ckpt", help="list checkpoint tensors")
     k.add_argument("--model", default="ron_320_vgg")

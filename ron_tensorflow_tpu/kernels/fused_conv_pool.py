@@ -200,19 +200,19 @@ def _merged_conv3x3(x_tile, w_taps, bias, rows_out, width2):
 def _block1_kernel(
     xa_ref, xb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, rows, width2, c, h
 ):
-    """Whole VGG block 1 in one pass: conv1_1(3->c) + ReLU + conv1_2(c->c) +
-    ReLU + 2x2/s2 max-pool, merged-column layout throughout. The [H, W, c]
-    intermediates live only in VMEM — HBM sees the [., ., 3] input once and
-    the 4x-smaller pooled output once (vs 4 full-activation round-trips
-    under XLA).
+    """Whole VGG double-conv block in one pass: convA(ci->c) + ReLU +
+    convB(c->c) + ReLU + 2x2/s2 max-pool, merged-column layout throughout.
+    The [H, W, c] intermediates live only in VMEM — HBM sees the [., ., ci]
+    input once and the 4x-smaller pooled output once (vs 4 full-activation
+    round-trips under XLA). Covers VGG block 1 (ci=3) and block 2 (ci=64).
 
-    xa_ref: [1, rows, width2, 6] this row tile (columns pair-merged).
-    xb_ref: [1, rows, width2, 6] next row tile; first 4 rows = bottom halo
+    xa_ref: [1, rows, width2, 2ci] this row tile (columns pair-merged).
+    xb_ref: [1, rows, width2, 2ci] next row tile; first 4 rows = bottom halo
       (2 halo rows per conv).
-    w1_ref: [3, 18, 2c]; b1_ref/b2_ref: [1, 2c]; w2_ref: [3, 6c, 2c].
+    w1_ref: [3, 6ci, 2c]; b1_ref/b2_ref: [1, 2c]; w2_ref: [3, 6c, 2c].
     out_ref: [1, rows//2, width2, c].
     """
-    x_tile = jnp.concatenate([xa_ref[0], xb_ref[0, :4]], axis=0)  # [rows+4, w2, 6]
+    x_tile = jnp.concatenate([xa_ref[0], xb_ref[0, :4]], axis=0)  # [rows+4, w2, 2ci]
     y1 = _merged_conv3x3(
         x_tile, w1_ref, b1_ref[0, :].astype(jnp.float32), rows + 2, width2
     )
@@ -253,13 +253,14 @@ def fused_vgg_block1(
     b2: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """maxpool2(relu(conv1_2(relu(conv1_1(x))))) — VGG block 1 fused.
+    """maxpool2(relu(convB(relu(convA(x))))) — a VGG double-conv block fused.
 
-    x: [B, H, W, 3]; w1: [3, 3, 3, C]; w2: [3, 3, C, C] -> [B, H/2, W/2, C].
+    x: [B, H, W, Ci]; w1: [3, 3, Ci, C]; w2: [3, 3, C, C]
+    -> [B, H/2, W/2, C]. Covers block 1 (Ci=3) and block 2 (Ci=64).
     Inference-only (no autodiff).
     """
     batch, h, width, cin = x.shape
-    assert cin == 3 and w1.shape[:3] == (3, 3, 3)
+    assert w1.shape[:3] == (3, 3, cin)
     c = w1.shape[-1]
     assert w2.shape == (3, 3, c, c)
     width2 = width // 2
@@ -279,15 +280,15 @@ def fused_vgg_block1(
     n_tiles = h // rows
     # 2 top halo rows; bottom rounded up one extra tile for the halo fetch.
     xp = jnp.pad(x, ((0, 0), (2, (n_tiles + 1) * rows - h - 2), (0, 0), (0, 0)))
-    xm = xp.reshape(batch, (n_tiles + 1) * rows, width2, 6).astype(jnp.bfloat16)
-    w1m = merge_stem_weights(w1).astype(jnp.bfloat16)  # [3, 18, 2c]
+    xm = xp.reshape(batch, (n_tiles + 1) * rows, width2, 2 * cin).astype(jnp.bfloat16)
+    w1m = merge_stem_weights(w1).astype(jnp.bfloat16)  # [3, 6ci, 2c]
     w2m = merge_stem_weights(w2).astype(jnp.bfloat16)  # [3, 6c, 2c]
     b1m = jnp.concatenate([b1, b1]).reshape(1, 2 * c)
     b2m = jnp.concatenate([b2, b2]).reshape(1, 2 * c)
 
     kernel = functools.partial(_block1_kernel, rows=rows, width2=width2, c=c, h=h)
     tile_spec = lambda off: pl.BlockSpec(
-        (1, rows, width2, 6),
+        (1, rows, width2, 2 * cin),
         lambda bi, ri, _off=off: (bi, ri + _off, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -300,7 +301,7 @@ def fused_vgg_block1(
         in_specs=[
             tile_spec(0),
             tile_spec(1),
-            const_spec((3, 18, 2 * c)),
+            const_spec((3, 6 * cin, 2 * c)),
             const_spec((1, 2 * c)),
             const_spec((3, 6 * c, 2 * c)),
             const_spec((1, 2 * c)),
@@ -415,7 +416,7 @@ def fused_conv3x3_relu_pool2(
         kernel,
         grid=(batch, h // rows),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; DMA'd manually
             pl.BlockSpec((9, cin, cout), lambda bi, ri: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda bi, ri: (0, 0), memory_space=pltpu.VMEM),
         ],

@@ -152,7 +152,9 @@ class SSD(nn.Module):
             assert fused_block1_supported(x.shape[1], x.shape[2])
             w1, b1 = _ConvKernelBias((3, 3, 3, 64), name="conv1_1")()
             w2, b2 = _ConvKernelBias((3, 3, 64, 64), name="conv1_2")()
-            x = fused_vgg_block1(x, w1, b1, w2, b2)
+            x = fused_vgg_block1(
+                x, w1, b1, w2, b2, interpret=jax.devices()[0].platform == "cpu"
+            )
         else:
             x = conv(64, "conv1_1")(x)
             x = conv(64, "conv1_2")(x)

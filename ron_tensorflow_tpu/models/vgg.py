@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import Conv, max_pool_2x2
@@ -82,7 +83,10 @@ class VGG16Backbone(nn.Module):
             )
             w1, b1 = _ConvKernelBias((3, 3, 3, 64), name="conv1_1")()
             w2, b2 = _ConvKernelBias((3, 3, 64, 64), name="conv1_2")()
-            x = fused_vgg_block1(x.astype(self.dtype), w1, b1, w2, b2)
+            x = fused_vgg_block1(
+                x.astype(self.dtype), w1, b1, w2, b2,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
         else:
             x = conv(64, "conv1_1")(x)
             x = conv(64, "conv1_2")(x)

@@ -209,6 +209,52 @@ def test_cli_train_resume_and_ema_eval(cli_workspace, tmp_path, capsys):
     assert "restored step 3" in out and "mAP (VOC07 metric)" in out
 
 
+def test_cli_import_ckpt_torch_then_infer(cli_workspace, tmp_path, capsys):
+    """Reference-user migration path: torch VGG16 state_dict -> import-ckpt
+    -> orbax model dir -> infer restores it."""
+    torch = pytest.importorskip("torch")
+    channels = [
+        (3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+        (256, 256), (256, 512), (512, 512), (512, 512), (512, 512),
+        (512, 512), (512, 512),
+    ]
+    ids = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    sd = {}
+    gen = torch.Generator().manual_seed(0)
+    for idx, (ci, co) in zip(ids, channels):
+        sd[f"features.{idx}.weight"] = torch.randn((co, ci, 3, 3), generator=gen) * 0.01
+        sd[f"features.{idx}.bias"] = torch.zeros((co,))
+    src = str(tmp_path / "vgg16.pth")
+    torch.save(sd, src)
+
+    model_dir = str(tmp_path / "imported")
+    main(
+        [
+            "import-ckpt",
+            "--format", "torch",
+            "--source", src,
+            "--model", "ron_tiny_vgg",
+            "--model-dir", model_dir,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "imported torch checkpoint" in out
+    # 13 conv kernels + 13 biases restored, heads left at init
+    assert "restored 26 tensors" in out
+
+    main(
+        [
+            "infer",
+            cli_workspace["image"],
+            "--model", "ron_tiny_vgg",
+            "--model-dir", model_dir,
+            "--output-dir", str(tmp_path / "out"),
+            "--objectness-threshold", "0.0",
+        ]
+    )
+    assert "detections ->" in capsys.readouterr().out
+
+
 def test_cli_unknown_override_rejected(cli_workspace):
     with pytest.raises(KeyError):
         main(

@@ -33,15 +33,16 @@ def test_fused_kernel_parity_interpret(fn):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
 
 
-@pytest.mark.parametrize("shape", [(2, 16, 16), (1, 64, 8)])
-def test_fused_block1_parity_interpret(shape):
-    # (1, 64, 8) splits into two 32-row tiles — covers the inter-tile halo.
+@pytest.mark.parametrize("shape,cin", [((2, 16, 16), 3), ((1, 64, 8), 3), ((1, 16, 16), 8)])
+def test_fused_block1_parity_interpret(shape, cin):
+    # (1, 64, 8) splits into two 32-row tiles — covers the inter-tile halo;
+    # cin=8 covers the rectangular first conv (the block-2 configuration).
     from ron_tensorflow_tpu.kernels import fused_vgg_block1
 
     rng = np.random.default_rng(2)
     c = 8
-    x = jnp.asarray(rng.normal(size=(*shape, 3)), jnp.float32)
-    w1 = jnp.asarray(rng.normal(size=(3, 3, 3, c)) * 0.2, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(*shape, cin)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, cin, c)) * 0.2, jnp.float32)
     b1 = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
     w2 = jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.1, jnp.float32)
     b2 = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
@@ -60,6 +61,23 @@ def test_fused_block1_parity_interpret(shape):
     out = fused_vgg_block1(x, w1, b1, w2, b2, interpret=True)
     assert out.shape == ref.shape == (shape[0], shape[1] // 2, shape[2] // 2, c)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=1e-2)
+
+
+def test_fuse_block1_model_flag_shares_params():
+    """RON(fuse_block1=True) consumes the SAME variables as the layer
+    composition and produces matching outputs (the checkpoint-compat
+    contract of the fused path)."""
+    from ron_tensorflow_tpu.models.ron import RON
+    from ron_tensorflow_tpu.models.testing import RON_TINY_SPEC
+
+    model = RON(spec=RON_TINY_SPEC)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    base = model.apply(variables, x, train=False)
+    fused = model.clone(fuse_block1=True).apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(fused.logits), np.asarray(base.logits), atol=0.1, rtol=0.05
+    )
 
 
 def test_fused_kernel_rect_channels():
