@@ -43,6 +43,8 @@ def main():
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
 
+    if dev.platform != "cpu":
+        model = model.clone(fuse_block1=True)  # the production inference path
     detector = Detector(model, spec, DetectionConfig())
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
