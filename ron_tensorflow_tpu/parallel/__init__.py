@@ -13,5 +13,20 @@ datasets/pascalvoc_common.py:76-88).
 """
 
 from .mesh import make_mesh, partition_batch, partition_params, partition_rules
+from .multihost import (
+    host_local_to_global,
+    host_tree_to_global,
+    initialize_distributed,
+    process_info,
+)
 
-__all__ = ["make_mesh", "partition_batch", "partition_params", "partition_rules"]
+__all__ = [
+    "make_mesh",
+    "partition_batch",
+    "partition_params",
+    "partition_rules",
+    "host_local_to_global",
+    "host_tree_to_global",
+    "initialize_distributed",
+    "process_info",
+]

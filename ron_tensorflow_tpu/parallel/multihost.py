@@ -56,3 +56,18 @@ def host_local_to_global(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict:
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return {k: convert(np.asarray(v)) for k, v in batch.items()}
+
+
+def host_tree_to_global(tree, shardings):
+    """Host-value pytree (identical on every process) -> global jax.Arrays
+    with the given per-leaf shardings. Used to place a restored/initialized
+    train state onto a multi-process mesh (each process serves the
+    addressable slices of its own devices)."""
+
+    def convert(x, sharding):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx, _a=arr: _a[idx]
+        )
+
+    return jax.tree.map(convert, tree, shardings)

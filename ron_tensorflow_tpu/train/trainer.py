@@ -195,7 +195,10 @@ class Trainer:
     def train(self, max_steps: Optional[int] = None, batches=None) -> TrainState:
         cfg = self.config
         max_steps = max_steps or cfg.max_steps
-        print_config(cfg)
+        n_proc = jax.process_count()
+        primary = jax.process_index() == 0
+        if primary:
+            print_config(cfg)
 
         mesh = make_mesh(cfg.mesh_shape)
         state = self.init_state()
@@ -211,7 +214,16 @@ class Trainer:
                 else None
             ),
         )
-        state = jax.device_put(state, state_shardings)
+        if n_proc > 1:
+            # Multi-process (the reference's between-graph rig,
+            # ron_net_multi_gpu_replica.py:319-448): every process holds the
+            # SAME host state (identical seed / checkpoint on shared FS) and
+            # serves its devices' slices of the global arrays.
+            from ..parallel import host_tree_to_global
+
+            state = host_tree_to_global(jax.device_get(state), state_shardings)
+        else:
+            state = jax.device_put(state, state_shardings)
         # donate the state: params/opt_state/EMA update in place instead of
         # allocating (and copying) a fresh ~3x-params footprint every step.
         step_fn = jax.jit(
@@ -220,9 +232,9 @@ class Trainer:
             donate_argnums=(0,),
         )
 
-        writer = MetricsWriter(cfg.model_dir)
+        writer = MetricsWriter(cfg.model_dir) if primary else None
         tb = None
-        if cfg.tensorboard:
+        if cfg.tensorboard and primary:
             from ..utils.tensorboard import TensorBoardWriter
 
             tb = TensorBoardWriter(cfg.model_dir)
@@ -238,12 +250,20 @@ class Trainer:
                 print("[trainer] input exhausted")
                 break
             batch = {
-                "image01": jnp.asarray(host_batch["image01"]),
-                "gt_boxes": jnp.asarray(host_batch["gt_boxes"]),
-                "gt_labels": jnp.asarray(host_batch["gt_labels"]),
-                "gt_valid": jnp.asarray(host_batch["gt_valid"]),
+                "image01": host_batch["image01"],
+                "gt_boxes": host_batch["gt_boxes"],
+                "gt_labels": host_batch["gt_labels"],
+                "gt_valid": host_batch["gt_valid"],
             }
-            batch = jax.device_put(batch, partition_batch(batch, mesh))
+            if n_proc > 1:
+                # per-process local batch -> global array sharded on 'data'
+                # (data.batch_size is the LOCAL batch in multi-process runs)
+                from ..parallel import host_local_to_global
+
+                batch = host_local_to_global(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = jax.device_put(batch, partition_batch(batch, mesh))
             rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step)
             state, metrics = step_fn(state, batch, rng)
             timer.tick()
@@ -253,18 +273,23 @@ class Trainer:
                 loss = float(metrics["loss/total"])
                 if not np.isfinite(loss):
                     raise FloatingPointError(f"non-finite loss at step {step}: {loss}")
-                scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["images_per_sec"] = timer.images_per_sec(cfg.data.batch_size)
-                writer.write(step, scalars)
-                if tb is not None:
-                    tb.scalars(scalars, step)
-                print(
-                    f"[trainer] step {step} loss {loss:.4f} "
-                    f"({scalars['images_per_sec']:.1f} img/s)"
-                )
+                if primary:
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars["images_per_sec"] = timer.images_per_sec(
+                        cfg.data.batch_size * n_proc
+                    )
+                    writer.write(step, scalars)
+                    if tb is not None:
+                        tb.scalars(scalars, step)
+                    print(
+                        f"[trainer] step {step} loss {loss:.4f} "
+                        f"({scalars['images_per_sec']:.1f} img/s)"
+                    )
 
             if (
                 cfg.dump_debug_images_every
+                and primary
+                and n_proc == 1  # batch is a local single-process array
                 and step % cfg.dump_debug_images_every == 0
             ):
                 self._dump_debug_image(batch, rng, step, tb)
@@ -275,7 +300,8 @@ class Trainer:
                 last_save_time = time.time()
 
         self._ckpt.wait()
-        writer.close()
+        if writer is not None:
+            writer.close()
         if tb is not None:
             tb.close()
         return state

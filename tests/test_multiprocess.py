@@ -63,3 +63,92 @@ def test_two_process_sync_training():
     assert fps[0] == pytest.approx(fps[1], rel=0, abs=0), fps
     # And the same loss stream — both processes observed the same global batch.
     assert results[0]["losses"] == results[1]["losses"]
+
+
+TRAINER_WORKER = REPO / "tools" / "multiprocess_trainer_worker.py"
+
+
+def _write_mp_shards(data_dir, per_shard=8, shards=2):
+    import io
+
+    from PIL import Image
+
+    from ron_tensorflow_tpu.data.convert import encode_voc_example
+    from ron_tensorflow_tpu.data.tfrecord import TFRecordWriter
+    from ron_tensorflow_tpu.data.voc import VocAnnotation, VocObject
+
+    rng = np.random.default_rng(0)
+    for s in range(shards):
+        with TFRecordWriter(str(data_dir / f"mp_train_{s:03d}.tfrecord")) as w:
+            for i in range(per_shard):
+                arr = rng.integers(0, 255, (64, 64, 3), np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="JPEG")
+                ann = VocAnnotation(
+                    shape=(64, 64, 3),
+                    objects=[
+                        VocObject(1 + (s * per_shard + i) % 20, "x",
+                                  (0.2, 0.2, 0.7, 0.7), 0, 0)
+                    ],
+                )
+                w.write(encode_voc_example(buf.getvalue(), ann))
+
+
+@pytest.mark.slow
+def test_two_process_trainer_end_to_end(tmp_path):
+    """The REAL Trainer across 2 jax.distributed processes: per-process file
+    sharding, global batch assembly, sharded fused step, coordinated orbax
+    checkpointing — then a single-process restore of the result."""
+    port, nproc, steps = _free_port(), 2, 3
+    _write_mp_shards(tmp_path)
+    model_dir = tmp_path / "model"
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PYTHONPATH": str(REPO),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(TRAINER_WORKER), str(port), str(i), str(nproc),
+             str(steps), str(tmp_path), str(model_dir)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(nproc)
+    ]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"trainer worker failed:\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert all(r["global_devices"] == nproc for r in results)
+    assert all(r["step"] == steps for r in results)
+    fps = [r["param_fingerprint"] for r in results]
+    assert fps[0] == pytest.approx(fps[1], rel=0, abs=0), fps
+
+    # The coordinated checkpoint is restorable in a single process.
+    from ron_tensorflow_tpu.models import get_network
+    from ron_tensorflow_tpu.train.checkpoint import CheckpointManager
+    import jax
+    import jax.numpy as jnp
+
+    model, spec = get_network("ron_tiny_vgg")
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+    )
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    variables, step = CheckpointManager(str(model_dir)).restore_eval(
+        zeros["params"], zeros.get("batch_stats", {})
+    )
+    assert step == steps
+    got = float(
+        sum(np.abs(np.asarray(p, np.float64)).sum()
+            for p in jax.tree.leaves(variables["params"]))
+    )
+    assert got == pytest.approx(fps[0], rel=1e-6)
