@@ -93,13 +93,13 @@ def cmd_eval(args):
     model_dir = args.model_dir or cfg.model_dir
     dataset_dir = args.dataset_dir or cfg.data.dataset_dir
     model, spec = get_network(cfg.model)
-    variables, step = _restore_for_eval(model, spec, model_dir, cfg.use_ema)
     if cfg.bfloat16:
         import jax.numpy as jnp
 
-        model = model.clone(dtype=jnp.bfloat16)
-    model = _maybe_fuse_block1(model, spec)
-    print(f"[eval] restored step {step}")
+        infer_model = model.clone(dtype=jnp.bfloat16)
+    else:
+        infer_model = model
+    infer_model = _maybe_fuse_block1(infer_model, spec)
 
     files = list_shards(dataset_dir, cfg.data.file_pattern)
     pcfg = PipelineConfig(
@@ -131,7 +131,7 @@ def cmd_eval(args):
 
         mesh = make_mesh(tuple(cfg.mesh_shape))
     ev = StreamingEvaluator(
-        model,
+        infer_model,
         spec,
         DetectionConfig(
             select_threshold=cfg.select_threshold,
@@ -143,12 +143,38 @@ def cmd_eval(args):
         cfg.matching_threshold,
         mesh=mesh,
     )
-    map07, map12, aps07, stats = ev.run(variables, eval_batches(), cfg.max_batches)
-    for cls, ap in sorted(aps07.items()):
-        print(f"  AP07[class {cls:2d}] = {ap:.4f}")
-    print(f"mAP (VOC07 metric) = {map07:.4f}")
-    print(f"mAP (VOC12 metric) = {map12:.4f}")
-    print(f"eval speed: {stats['sec_per_image']:.4f} sec/image")
+
+    # One-shot by default; with wait_for_checkpoints, keep watching the
+    # model dir and evaluate every NEW checkpoint (the reference's slim
+    # evaluation_loop, ref: eval_ssd_network.py:305-340).
+    import time as _time
+
+    from .train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(model_dir)
+    if not cfg.wait_for_checkpoints and mgr.latest_step() is None:
+        raise FileNotFoundError(f"no checkpoint in {model_dir}")
+    evaluated_step, n_done = None, 0
+    while True:
+        latest = mgr.latest_step()
+        if latest is not None and latest != evaluated_step:
+            variables, step = _restore_for_eval(model, spec, model_dir, cfg.use_ema)
+            print(f"[eval] restored step {step}")
+            map07, map12, aps07, stats = ev.run(
+                variables, eval_batches(), cfg.max_batches
+            )
+            for cls, ap in sorted(aps07.items()):
+                print(f"  AP07[class {cls:2d}] = {ap:.4f}")
+            print(f"mAP (VOC07 metric) = {map07:.4f}")
+            print(f"mAP (VOC12 metric) = {map12:.4f}")
+            print(f"eval speed: {stats['sec_per_image']:.4f} sec/image")
+            evaluated_step, n_done = step, n_done + 1
+        if not cfg.wait_for_checkpoints:
+            break
+        if cfg.max_evals is not None and n_done >= cfg.max_evals:
+            break
+        _time.sleep(cfg.eval_interval_secs)
+        mgr.reload()  # pick up checkpoints written by the training job
 
 
 def cmd_realtime_eval(args):

@@ -101,6 +101,12 @@ class EvalConfig:
     # mesh (None = single device, the reference's behavior). batch_size must
     # be divisible by the data-axis size.
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Continuous eval: keep watching model_dir and evaluate every NEW
+    # checkpoint (ref: eval_ssd_network.py:101,305-340
+    # `wait_for_checkpoints` + slim evaluation_loop).
+    wait_for_checkpoints: bool = False
+    eval_interval_secs: float = 60.0
+    max_evals: Optional[int] = None  # stop after N evaluations (None = forever)
     # Eval resize strategy (ref: eval_ssd_network.py `eval_resize_option` +
     # ssd_vgg_preprocessing.py:358-425): WARP_RESIZE (default) |
     # CENTRAL_CROP | PAD_AND_RESIZE. ('NONE' needs the realtime evaluator.)

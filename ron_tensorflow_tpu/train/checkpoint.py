@@ -130,6 +130,11 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def reload(self) -> None:
+        """Re-scan the directory — orbax caches the step list, so external
+        writers (a concurrent training job) are invisible without this."""
+        self._mgr.reload()
+
     def has_checkpoint(self) -> bool:
         return self.latest_step() is not None
 

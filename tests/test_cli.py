@@ -209,6 +209,43 @@ def test_cli_train_resume_and_ema_eval(cli_workspace, tmp_path, capsys):
     assert "restored step 3" in out and "mAP (VOC07 metric)" in out
 
 
+def test_cli_eval_wait_for_checkpoints(cli_workspace, tmp_path, capsys, monkeypatch):
+    """Continuous-eval mode (ref: eval_ssd_network.py wait_for_checkpoints):
+    a second checkpoint appearing between polls is picked up and evaluated."""
+    import shutil
+
+    # model dir with the step-2 checkpoint; a step-5 copy appears "later"
+    model_dir = tmp_path / "watch"
+    shutil.copytree(cli_workspace["model_dir"], model_dir)
+
+    def fake_sleep(secs):
+        # simulate training writing a newer checkpoint while eval waits
+        if not (model_dir / "5").exists():
+            shutil.copytree(model_dir / "2", model_dir / "5")
+
+    monkeypatch.setattr("time.sleep", fake_sleep)
+    main(
+        [
+            "eval",
+            "--model-dir", str(model_dir),
+            "--dataset-dir", cli_workspace["records"],
+            "model=ron_tiny_vgg",
+            "data.file_pattern=voc_2007_train_*.tfrecord",
+            "data.batch_size=4",
+            "data.max_boxes=8",
+            "select_top_k=64",
+            "keep_top_k=16",
+            "max_batches=1",
+            "wait_for_checkpoints=true",
+            "max_evals=2",
+            "eval_interval_secs=0",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "restored step 2" in out and "restored step 5" in out
+    assert out.count("mAP (VOC07 metric)") == 2
+
+
 def test_cli_import_ckpt_torch_then_infer(cli_workspace, tmp_path, capsys):
     """Reference-user migration path: torch VGG16 state_dict -> import-ckpt
     -> orbax model dir -> infer restores it."""
