@@ -33,6 +33,10 @@ class DataConfig:
     # cache decoded working-canvas images in host RAM (uint8) — removes the
     # JPEG-decode bottleneck from epochs 2+ (VOC07+12 @512^2 is ~17 GB)
     cache_decoded: bool = True
+    # Grain-backed pipeline (data/grain_pipeline.py): globally deterministic
+    # sample order, index-level per-process sharding, and input-position
+    # checkpointing (resume continues at the next unseen sample).
+    use_grain: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

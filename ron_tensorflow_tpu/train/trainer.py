@@ -190,6 +190,10 @@ class Trainer:
             cache_decoded=cfg.data.cache_decoded,
             output_dtype="uint8",  # quarter the host->device batch traffic
         )
+        if cfg.data.use_grain:
+            from ..data.grain_pipeline import GrainBatches
+
+            return GrainBatches(files, pcfg, epochs=epochs)
         return PrefetchIterator(batch_iterator(files, pcfg, epochs=epochs))
 
     def train(self, max_steps: Optional[int] = None, batches=None) -> TrainState:
@@ -243,6 +247,17 @@ class Trainer:
         it = batches if batches is not None else self.make_batches()
 
         step = int(state.step)
+        # Grain input-position resume: continue at the next unseen sample
+        # (the reference restarted the input stream from scratch on resume).
+        input_state_path = os.path.join(cfg.model_dir, "input_state.json")
+        if (
+            step > 0
+            and hasattr(it, "restore_state_json")
+            and os.path.exists(input_state_path)
+        ):
+            with open(input_state_path) as f:
+                it.restore_state_json(f.read())
+            print("[trainer] input pipeline position restored")
         while step < max_steps:
             try:
                 host_batch = next(it)
@@ -297,6 +312,9 @@ class Trainer:
             time_due = time.time() - last_save_time > cfg.save_interval_secs
             if step % cfg.save_every_steps == 0 or time_due or step >= max_steps:
                 self._ckpt.save(step, jax.device_get(state))
+                if primary and hasattr(it, "state_json"):
+                    with open(input_state_path, "w") as f:
+                        f.write(it.state_json())
                 last_save_time = time.time()
 
         self._ckpt.wait()

@@ -1,0 +1,143 @@
+"""Grain-backed input pipeline: parity with the default pipeline,
+deterministic shuffling, index-level sharding, and input-position
+checkpointing through the Trainer."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("grain")
+
+from ron_tensorflow_tpu.data.convert import encode_voc_example
+from ron_tensorflow_tpu.data.grain_pipeline import GrainBatches, TFRecordVocSource
+from ron_tensorflow_tpu.data.pipeline import PipelineConfig, batch_iterator
+from ron_tensorflow_tpu.data.tfrecord import TFRecordWriter
+from ron_tensorflow_tpu.data.voc import VocAnnotation, VocObject
+
+
+def _write_shard(tmp_path, n=10, name="g_train_000.tfrecord"):
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    path = str(tmp_path / name)
+    with TFRecordWriter(path) as w:
+        for i in range(n):
+            arr = rng.integers(0, 255, (48, 48, 3), np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            w.write(
+                encode_voc_example(
+                    buf.getvalue(),
+                    VocAnnotation(
+                        (48, 48, 3),
+                        [VocObject(1 + i % 5, "x", (0.1, 0.1, 0.8, 0.8), 0, 0)],
+                    ),
+                )
+            )
+    return path
+
+
+def _cfg(**kw):
+    base = dict(
+        batch_size=2, working_shape=(32, 32), max_boxes=4, shuffle=False, seed=3
+    )
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+def test_grain_matches_default_pipeline_unshuffled(tmp_path):
+    path = _write_shard(tmp_path)
+    cfg = _cfg()
+    default = list(batch_iterator([path], _cfg(output_dtype="uint8"), epochs=1))
+    grain = list(GrainBatches([path], cfg, epochs=1))
+    assert len(default) == len(grain) == 5
+    for d, g in zip(default, grain):
+        np.testing.assert_array_equal(d["image01"], g["image01"])
+        np.testing.assert_array_equal(d["gt_labels"], g["gt_labels"])
+        np.testing.assert_array_equal(d["gt_boxes"], g["gt_boxes"])
+        np.testing.assert_array_equal(d["gt_valid"], g["gt_valid"])
+
+
+def test_grain_shuffle_is_deterministic_and_covers_all(tmp_path):
+    path = _write_shard(tmp_path)
+    a = list(GrainBatches([path], _cfg(shuffle=True, seed=7), epochs=1))
+    b = list(GrainBatches([path], _cfg(shuffle=True, seed=7), epochs=1))
+    c = list(GrainBatches([path], _cfg(shuffle=True, seed=8), epochs=1))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["image01"], y["image01"])
+    assert not all(
+        np.array_equal(x["image01"], y["image01"]) for x, y in zip(a, c)
+    )
+    # all 10 samples appear exactly once
+    labels = np.concatenate([x["gt_labels"][:, 0] for x in a])
+    assert sorted(labels.tolist()) == sorted((1 + i % 5) for i in range(10))
+
+
+def test_grain_index_sharding_disjoint(tmp_path):
+    path = _write_shard(tmp_path)
+    w0 = list(GrainBatches([path], _cfg(num_workers=2, worker_index=0), epochs=1))
+    w1 = list(GrainBatches([path], _cfg(num_workers=2, worker_index=1), epochs=1))
+    imgs0 = [x["image01"][i].tobytes() for x in w0 for i in range(2)]
+    imgs1 = [x["image01"][i].tobytes() for x in w1 for i in range(2)]
+    # 10 records / 2 shards = 5 each; batch 2 drop_remainder -> 4 samples
+    assert len(imgs0) == len(imgs1) == 4
+    assert not (set(imgs0) & set(imgs1))
+
+
+def test_grain_state_checkpoint_resumes_exactly(tmp_path):
+    path = _write_shard(tmp_path)
+    it = GrainBatches([path], _cfg(shuffle=True, seed=9), epochs=2)
+    next(it)
+    state = it.state_json()
+    want = next(it)
+
+    it2 = GrainBatches([path], _cfg(shuffle=True, seed=9), epochs=2)
+    it2.restore_state_json(state)
+    got = next(it2)
+    np.testing.assert_array_equal(want["image01"], got["image01"])
+    np.testing.assert_array_equal(want["gt_labels"], got["gt_labels"])
+
+
+def test_trainer_grain_resume_restores_input_position(tmp_path, monkeypatch):
+    """Resume continues the input stream at the next unseen sample."""
+    from dataclasses import replace
+
+    from ron_tensorflow_tpu.config import TrainConfig, apply_overrides
+    from ron_tensorflow_tpu.train.trainer import Trainer
+
+    _write_shard(tmp_path, n=16, name="g_train_000.tfrecord")
+    cfg = apply_overrides(
+        TrainConfig(),
+        [
+            "model=ron_tiny_vgg",
+            f"model_dir={tmp_path}/model",
+            f"data.dataset_dir={tmp_path}",
+            "data.file_pattern=g_train_*.tfrecord",
+            "data.batch_size=2",
+            "data.max_boxes=4",
+            "data.use_grain=true",
+            "bfloat16=false",
+            "max_steps=2",
+            "log_every_steps=1",
+            "save_every_steps=2",
+            "optimizer.learning_rate=0.001",
+            "optimizer.learning_rate_decay_type=fixed",
+            "mesh_shape=[1, 1]",
+            "tensorboard=false",
+        ],
+    )
+    cfg = replace(cfg, data=replace(cfg.data, working_shape=(64, 64)))
+    t = Trainer(cfg)
+    t.train()
+    state_file = os.path.join(cfg.model_dir, "input_state.json")
+    assert os.path.exists(state_file)
+    pos1 = json.loads(open(state_file).read())
+
+    # resume to step 4: input state restored, then advanced further
+    t2 = Trainer(replace(cfg, max_steps=4))
+    t2.train()
+    pos2 = json.loads(open(state_file).read())
+    assert pos1 != pos2
