@@ -33,6 +33,12 @@ def get_network(name: str):
         "ron_320_vgg_heavy": lambda: (RON(spec=RON_320_SPEC, backbone_variant="heavy"), RON_320_SPEC),
         "ssd_300_vgg": lambda: _ssd(300),
         "ssd_512_vgg": lambda: _ssd(512),
+        # The reference's *_caffe entries differ only in initializer scope
+        # (nets_factory.py:39-41,49-51 — caffe-model-seeded init); here caffe
+        # weights arrive via `cli import-ckpt --format caffe`, so the aliases
+        # resolve to the same architectures.
+        "ssd_300_vgg_caffe": lambda: _ssd(300),
+        "ssd_512_vgg_caffe": lambda: _ssd(512),
         # 64x64 smoke-test model (same topology, tiny grids)
         "ron_tiny_vgg": _tiny,
     }
