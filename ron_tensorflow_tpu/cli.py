@@ -64,14 +64,20 @@ def _restore_for_eval(model, spec, model_dir, use_ema=False):
     return restored, step
 
 
-def _maybe_fuse_block1(model, spec):
+def _maybe_fuse_block1(model, spec, batched: bool = True):
     """Enable the Pallas fused block-1 for inference on accelerators (same
-    param tree; TPU-only kernel, so CPU keeps the layer composition)."""
+    param tree; TPU-only kernel, so CPU keeps the layer composition).
+    Only worthwhile for batched eval — at batch 1 the kernel's per-program
+    overhead isn't amortized (3.97 vs 3.19 ms fwd, see NOTES.md)."""
     import jax
 
     from .models.vgg import fused_block1_supported
 
-    if jax.devices()[0].platform != "cpu" and fused_block1_supported(*spec.img_shape):
+    if (
+        batched
+        and jax.devices()[0].platform != "cpu"
+        and fused_block1_supported(*spec.img_shape)
+    ):
         return model.clone(fuse_block1=True)
     return model
 
@@ -184,7 +190,7 @@ def cmd_realtime_eval(args):
 
     model, spec = get_network(args.model)
     variables, step = _restore_for_eval(model, spec, args.model_dir, args.use_ema)
-    model = _maybe_fuse_block1(model, spec)
+    model = _maybe_fuse_block1(model, spec, batched=False)  # batch-1 path
     print(f"[ron-eval] restored step {step}")
     rt = RealtimeEvaluator(
         model,
@@ -216,7 +222,7 @@ def cmd_infer(args):
 
     model, spec = get_network(args.model)
     variables, _ = _restore_for_eval(model, spec, args.model_dir, args.use_ema)
-    model = _maybe_fuse_block1(model, spec)
+    model = _maybe_fuse_block1(model, spec, batched=False)  # batch-1 path
     det = RealtimeDetector(
         model, spec, RealtimeConfig(objectness_threshold=args.objectness_threshold)
     )
