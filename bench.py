@@ -68,7 +68,9 @@ def main():
         jax.random.normal(rng, (BATCH, *spec.img_shape, 3), jnp.float32), device
     )
 
-    detector = Detector(model, spec, DetectionConfig())
+    # shared_top_k=1000: the A/B-validated whole-image preselection (library
+    # default is 0 = strict reference semantics; see DetectionConfig).
+    detector = Detector(model, spec, DetectionConfig(shared_top_k=1000))
 
     import numpy as np
 

@@ -64,17 +64,23 @@ def _restore_for_eval(model, spec, model_dir, use_ema=False):
     return restored, step
 
 
-def _maybe_fuse_block1(model, spec, batched: bool = True):
+def _maybe_fuse_block1(model, spec, batched: bool = True, bfloat16: bool = True,
+                       sharded: bool = False):
     """Enable the Pallas fused block-1 for inference on accelerators (same
     param tree; TPU-only kernel, so CPU keeps the layer composition).
     Only worthwhile for batched eval — at batch 1 the kernel's per-program
-    overhead isn't amortized (3.97 vs 3.19 ms fwd, see NOTES.md)."""
+    overhead isn't amortized (3.97 vs 3.19 ms fwd, see NOTES.md).
+    Skipped when the eval is sharded over a mesh (Pallas custom calls do not
+    partition under GSPMD) and when f32 was explicitly requested (the kernel
+    computes in bf16)."""
     import jax
 
     from .models.vgg import fused_block1_supported
 
     if (
         batched
+        and bfloat16
+        and not sharded
         and jax.devices()[0].platform != "cpu"
         and fused_block1_supported(*spec.img_shape)
     ):
@@ -105,7 +111,9 @@ def cmd_eval(args):
         infer_model = model.clone(dtype=jnp.bfloat16)
     else:
         infer_model = model
-    infer_model = _maybe_fuse_block1(infer_model, spec)
+    infer_model = _maybe_fuse_block1(
+        infer_model, spec, bfloat16=cfg.bfloat16, sharded=cfg.mesh_shape is not None
+    )
 
     files = list_shards(dataset_dir, cfg.data.file_pattern)
     pcfg = PipelineConfig(
@@ -145,6 +153,7 @@ def cmd_eval(args):
             top_k=cfg.select_top_k,
             keep_top_k=cfg.keep_top_k,
             nms_threshold=cfg.nms_threshold,
+            shared_top_k=cfg.shared_top_k,
         ),
         cfg.matching_threshold,
         mesh=mesh,

@@ -94,6 +94,10 @@ class EvalConfig:
     select_top_k: int = 200
     keep_top_k: int = 100
     nms_threshold: float = 0.4
+    # Whole-image candidate preselection (TPU speed knob; 0 = strict
+    # reference semantics). K=1000 was A/B-validated mAP-lossless on trained
+    # checkpoints (NOTES.md); set 0 for crowded scenes with >1000 candidates.
+    shared_top_k: int = 1000
     matching_threshold: float = 0.5
     max_batches: Optional[int] = None
     use_ema: bool = False

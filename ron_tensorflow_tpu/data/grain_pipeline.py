@@ -50,6 +50,12 @@ def _index_records(path: str) -> List[tuple]:
     spans, pos = [], 0
     while pos + 12 <= len(buf):
         (length,) = struct.unpack("<Q", buf[pos : pos + 8])
+        if pos + 12 + length + 4 > len(buf):
+            raise IOError(
+                f"truncated TFRecord shard {path}: record at offset {pos} "
+                f"claims {length} payload bytes but only "
+                f"{len(buf) - pos - 12} remain"
+            )
         spans.append((pos + 12, length))
         pos += 12 + length + 4
     return spans

@@ -29,15 +29,23 @@ class RealtimeEvaluator:
         self.detector = RealtimeDetector(model, spec, config)
         self.spec = spec
 
-    def detect_image(self, variables, image01: np.ndarray):
+    def detect_image(self, variables, image01: np.ndarray, orig_shape=None):
         """One decoded [H,W,3] float[0,1] image -> per-class pixel boxes.
 
+        orig_shape: (H0, W0) of the ORIGINAL frame — scales the min-size
+        filter like the reference (ref: ron_eval.py:369-375, 471).
         Returns {cls: np.ndarray [k, 5] of (x1, y1, x2, y2, score)}.
         """
         h, w = image01.shape[:2]
+        cfg = self.detector.config
+        h0, w0 = orig_shape if orig_shape is not None else (h, w)
+        net_h, net_w = self.spec.img_shape
+        min_size = cfg.min_size * float(np.sqrt((h0 * w0) / (net_h * net_w)))
         # image01 must already be at the model input resolution; whiten + batch
         batched = jnp.expand_dims(whiten(jnp.asarray(image01)), 0)
-        scores, labels, boxes, valid = self.detector(variables, batched)
+        scores, labels, boxes, valid = self.detector(
+            variables, batched, jnp.float32(min_size)
+        )
         scores = np.asarray(scores[0])
         labels = np.asarray(labels[0])
         boxes = np.asarray(boxes[0])
@@ -89,7 +97,7 @@ class RealtimeEvaluator:
             # TF1-legacy bilinear (WARP_RESIZE), matching the reference's
             # preprocess_for_eval numerics (ref: tf_image.py:269-281).
             img = tf1_bilinear_resize(raw, self.spec.img_shape) / 255.0
-            per_class = self.detect_image(variables, img)
+            per_class = self.detect_image(variables, img, orig_shape=(h0, w0))
             for cls, rows in per_class.items():
                 rows = rows.copy()
                 rows[:, [0, 2]] *= w0 / 1.0

@@ -62,22 +62,31 @@ class DetectionConfig:
     # class score; all classes then select among those K candidates instead
     # of scanning all N anchors per class (~6x less top-k/gather work at
     # N=21250, K=1000). 0 = off (per-class selection over all anchors, the
-    # reference's semantics). A candidate outside the shared top-K is lost
-    # for EVERY class, so K should comfortably exceed the per-image
-    # detection count; mAP A/B at K=1000 is identical (see NOTES.md).
-    shared_top_k: int = 1000
+    # reference's semantics — and the library default). A candidate outside
+    # the shared top-K is dropped for EVERY class, which can lose detections
+    # on crowded scenes; the CLI eval presets and bench enable K=1000 where
+    # the mAP A/B showed it lossless (see NOTES.md). Nonzero K also disables
+    # approx_top_k in the second (per-class) stage.
+    shared_top_k: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
 class RealtimeConfig:
-    """Realtime-eval defaults (ref: ron_eval.py:64-91)."""
+    """Realtime-eval defaults — the reference's published flag values
+    (ref: ron_eval.py:83-91 select 0.6 / nms 0.4 / objectness 0.95 /
+    nms_topk 20)."""
 
-    select_threshold: float = 0.5
+    select_threshold: float = 0.6
     objectness_threshold: float = 0.95
+    # static-shape cap on the sort stage (the reference sorts every gated
+    # candidate; the 0.95 objectness gate keeps far fewer than 400)
     top_k: int = 400
     keep_top_k: int = 20
-    nms_threshold: float = 0.45
+    nms_threshold: float = 0.4
     nms_mode: str = "union"
+    # min-size ratio RELATIVE TO THE NET INPUT; at detection time it is
+    # scaled by sqrt(H0*W0/(320*320)) of the original frame
+    # (ref: ron_eval.py:369-375 filter_boxes)
     min_size: float = 0.03
 
 
@@ -200,13 +209,21 @@ class RealtimeDetector:
         self._anchors = jnp.asarray(spec.anchor_layout().cyxhw)
 
     @partial(jax.jit, static_argnums=(0,))
-    def __call__(self, variables, images):
-        """-> (scores, labels, boxes, valid) each [B, keep_top_k(,4)]."""
-        out = self.model.apply(variables, images, train=False)
-        return self.postprocess(out)
+    def __call__(self, variables, images, min_size=None):
+        """-> (scores, labels, boxes, valid) each [B, keep_top_k(,4)].
 
-    def postprocess(self, out):
+        min_size: optional scalar overriding config.min_size — the caller
+        passes `config.min_size * sqrt(H0*W0 / (Hnet*Wnet))` so the filter
+        matches the reference's original-frame scaling
+        (ref: ron_eval.py:369-375)."""
+        out = self.model.apply(variables, images, train=False)
+        return self.postprocess(out, min_size=min_size)
+
+    def postprocess(self, out, min_size=None):
         cfg = self.config
+        if min_size is None:
+            min_size = cfg.min_size
+        min_size = jnp.maximum(jnp.float32(min_size), 1e-4)
         decoded = decode_boxes(out.locations, self._anchors, self.spec.prior_scaling)
 
         def per_image(preds, objness, dec):
@@ -220,7 +237,7 @@ class RealtimeDetector:
             valid &= max_scores > cfg.select_threshold
             b = boxops.clip_to_ref(dec)
             # min-size + center-inside filter (ref: ron_eval.py:369-392)
-            valid &= boxops.min_size_mask(b, cfg.min_size)
+            valid &= boxops.min_size_mask(b, min_size)
             cy = (b[:, 0] + b[:, 2]) / 2.0
             cx = (b[:, 1] + b[:, 3]) / 2.0
             valid &= (cy > 0.0) & (cy < 1.0) & (cx > 0.0) & (cx < 1.0)

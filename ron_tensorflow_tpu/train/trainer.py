@@ -249,7 +249,12 @@ class Trainer:
         step = int(state.step)
         # Grain input-position resume: continue at the next unseen sample
         # (the reference restarted the input stream from scratch on resume).
-        input_state_path = os.path.join(cfg.model_dir, "input_state.json")
+        # Each process saves/restores its OWN position file — the per-process
+        # shard streams are independent (worker_index is baked into the
+        # sampler), so restoring process 0's index onto process k would put
+        # every process on shard 0's stream.
+        suffix = "" if n_proc == 1 else f"_{jax.process_index()}"
+        input_state_path = os.path.join(cfg.model_dir, f"input_state{suffix}.json")
         if (
             step > 0
             and hasattr(it, "restore_state_json")
@@ -312,7 +317,7 @@ class Trainer:
             time_due = time.time() - last_save_time > cfg.save_interval_secs
             if step % cfg.save_every_steps == 0 or time_due or step >= max_steps:
                 self._ckpt.save(step, jax.device_get(state))
-                if primary and hasattr(it, "state_json"):
+                if hasattr(it, "state_json"):  # every process: own shard position
                     with open(input_state_path, "w") as f:
                         f.write(it.state_json())
                 last_save_time = time.time()

