@@ -144,6 +144,19 @@ def cmd_eval(args):
         from .parallel import make_mesh
 
         mesh = make_mesh(tuple(cfg.mesh_shape))
+    loss_config = None
+    if cfg.report_loss:
+        if cfg.model.startswith("ssd"):
+            from .losses.ssd import SsdLossConfig
+
+            loss_config = SsdLossConfig(
+                num_classes=spec.num_classes,
+                match_threshold=cfg.match.positive_threshold,
+            )
+        else:
+            from .losses.ron import RonLossConfig
+
+            loss_config = RonLossConfig(num_classes=spec.num_classes)
     ev = StreamingEvaluator(
         infer_model,
         spec,
@@ -157,6 +170,9 @@ def cmd_eval(args):
         ),
         cfg.matching_threshold,
         mesh=mesh,
+        loss_config=loss_config,
+        loss_match_threshold=cfg.match.positive_threshold,
+        loss_ignore_threshold=cfg.match.ignore_threshold,
     )
 
     # One-shot by default; with wait_for_checkpoints, keep watching the
@@ -182,6 +198,9 @@ def cmd_eval(args):
                 print(f"  AP07[class {cls:2d}] = {ap:.4f}")
             print(f"mAP (VOC07 metric) = {map07:.4f}")
             print(f"mAP (VOC12 metric) = {map12:.4f}")
+            for k in sorted(stats):
+                if k.startswith("loss/"):
+                    print(f"{k} = {stats[k]:.4f}")
             print(f"eval speed: {stats['sec_per_image']:.4f} sec/image")
             evaluated_step, n_done = step, n_done + 1
         if not cfg.wait_for_checkpoints:

@@ -56,6 +56,11 @@ class TrainConfig:
     loss: RonLossConfig = RonLossConfig()
     optimizer: OptimizerConfig = OptimizerConfig()
     seed: int = 0
+    # Train augmentation chain: 'auto' = the model family's reference path
+    # (RON expand+patch chain for ron_*, the distinct SSD min-object-covered
+    # crop for ssd_*, ref: ssd_vgg_preprocessing.py:233-295 vs :297-356);
+    # 'ron' / 'ssd' force one.
+    augment_variant: str = "auto"
     bfloat16: bool = True
     log_every_steps: int = 10  # ref: log_every_n_steps
     save_every_steps: int = 2000
@@ -99,6 +104,10 @@ class EvalConfig:
     # checkpoints (NOTES.md); set 0 for crowded scenes with >1000 candidates.
     shared_top_k: int = 1000
     matching_threshold: float = 0.5
+    # Report the model losses on eval batches alongside mAP, like the
+    # reference's streaming eval graph (ref: eval_ron_network.py:212-220).
+    # Uses match.positive_threshold (eval default 0.5) for GT encoding.
+    report_loss: bool = True
     max_batches: Optional[int] = None
     use_ema: bool = False
     # bf16 inference (matches TrainConfig.bfloat16 and the bench path). Also

@@ -59,14 +59,28 @@ def unwhiten(image: jnp.ndarray) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class PreprocessConfig:
+    # 'ron': expand + min-IoU patch sampling (ron_preprocess_for_train,
+    # ref: ssd_vgg_preprocessing.py:297-356). 'ssd': the distinct SSD crop
+    # path — sample_distorted_bounding_box-style min-object-covered crop +
+    # keep-at-least-one overlap filter + applied color distortion
+    # (ref: ssd_vgg_preprocessing.py:233-295, tf_image.py... :169-230).
+    variant: str = "ron"
     out_shape: Tuple[int, int] = (320, 320)
     expand_prob: float = 0.5
     expand_ratio: float = 2.0
-    patch_candidates: int = 16  # replaces the 10-attempt retry loop
+    patch_candidates: int = 16  # replaces the 10/200-attempt retry loops
     aspect_attempts: int = 5  # ref: tf_image.py:312-331 sample_width_height
     min_ious: Tuple[float, ...] = (0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     flip_prob: float = 0.5
-    color_distort: bool = False
+    # None = the variant's reference behavior: RON computes-then-discards the
+    # distortion (ref: ssd_vgg_preprocessing.py:348) -> off; SSD applies it
+    # (ref: :285-288) -> on.
+    color_distort: bool | None = None
+    # SSD crop constants (ref: ssd_vgg_preprocessing.py:35-37).
+    min_object_covered: float = 0.25
+    crop_aspect_range: Tuple[float, float] = (0.6, 1.67)
+    crop_area_range: Tuple[float, float] = (0.1, 1.0)
+    crop_overlap_threshold: float = 0.5  # BBOX_CROP_OVERLAP
 
 
 def _bilinear_warp_separable(
@@ -139,6 +153,8 @@ def train_augment(
     valid [G]).
     """
     cfg = config
+    if cfg.variant == "ssd":
+        return _ssd_train_augment(rng, image01, boxes, labels, valid, cfg)
     keys = jax.random.split(rng, 8)
     mean_color = jnp.mean(image01, axis=(0, 1))
 
@@ -216,8 +232,104 @@ def train_augment(
     sx = (roi[1] + gx * rw - offset[1]) / scale  # [out_w]
     out = _bilinear_warp_separable(image01, sy, sx, mean_color)
 
-    if cfg.color_distort:
+    if cfg.color_distort:  # None/False = reference RON parity (discarded)
         out = distort_color(keys[7], out)
+
+    return whiten(out), b, labels, new_valid
+
+
+def _ssd_train_augment(rng, image01, boxes, labels, valid, cfg: PreprocessConfig):
+    """The SSD training augmentation (ref: ssd_vgg_preprocessing.py:233-295
+    `preprocess_for_train` -> `distorted_bounding_box_crop`:169-230):
+
+    - `tf.image.sample_distorted_bounding_box`-style crop: K vectorized
+      candidate draws (aspect ~ U(crop_aspect_range), area ~
+      U(crop_area_range), uniform offset) replacing the kernel's 200-attempt
+      loop; a candidate is accepted when some valid GT box has
+      intersection/box-area coverage >= min_object_covered (0.25); whole
+      image on failure (`use_image_if_no_bounding_boxes=True`);
+    - boxes mapped to the crop frame UNCLIPPED (tfe.bboxes_resize), then the
+      keep-at-least-one overlap filter at BBOX_CROP_OVERLAP=0.5
+      (ref: tf_extended/bboxes.py:478-503);
+    - bilinear resize, random horizontal flip, and — unlike the RON chain,
+      which discards it — the 4-ordering color distortion is APPLIED
+      (ref: :285-288), then VGG whitening.
+
+    Deviation note: aspect/area are relative to the fixed working canvas the
+    host pipeline decodes onto, not the original frame (same convention as
+    the RON patch sampler above).
+    """
+    keys = jax.random.split(rng, 6)
+    mean_color = jnp.mean(image01, axis=(0, 1))
+    k = cfg.patch_candidates
+
+    # ---- candidate crop windows ----
+    aspect = jax.random.uniform(
+        keys[0], (k,), minval=cfg.crop_aspect_range[0],
+        maxval=cfg.crop_aspect_range[1],
+    )
+    area = jax.random.uniform(
+        keys[1], (k,), minval=cfg.crop_area_range[0],
+        maxval=cfg.crop_area_range[1],
+    )
+    h = jnp.sqrt(area / aspect)
+    w = jnp.sqrt(area * aspect)
+    fits = (h <= 1.0) & (w <= 1.0)
+    u = jax.random.uniform(keys[2], (k, 2))
+    y0 = u[:, 0] * jnp.maximum(1.0 - h, 0.0)
+    x0 = u[:, 1] * jnp.maximum(1.0 - w, 0.0)
+    rois = jnp.stack([y0, x0, y0 + h, x0 + w], axis=-1)  # [k, 4]
+
+    # coverage of each GT box by each roi: intersection / box area
+    iy = jnp.maximum(
+        jnp.minimum(rois[:, 2:3], boxes[None, :, 2])
+        - jnp.maximum(rois[:, 0:1], boxes[None, :, 0]),
+        0.0,
+    )
+    ix = jnp.maximum(
+        jnp.minimum(rois[:, 3:4], boxes[None, :, 3])
+        - jnp.maximum(rois[:, 1:2], boxes[None, :, 1]),
+        0.0,
+    )
+    box_area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    cover = iy * ix / jnp.maximum(box_area[None, :], 1e-8)  # [k, G]
+    covered = jnp.any(
+        (cover >= cfg.min_object_covered) & valid[None, :], axis=1
+    )
+    cand_valid = fits & covered
+    any_valid = jnp.any(cand_valid)
+    chosen = jnp.argmax(cand_valid)  # first valid candidate
+    roi = jnp.where(any_valid, rois[chosen], jnp.array([0.0, 0.0, 1.0, 1.0]))
+    rh = roi[2] - roi[0]
+    rw = roi[3] - roi[1]
+
+    # ---- boxes to crop frame (unclipped) + overlap filter ----
+    from ..ops.boxes import filter_overlap_mask
+
+    b = (boxes - jnp.stack([roi[0], roi[1], roi[0], roi[1]])) / jnp.stack(
+        [rh, rw, rh, rw]
+    )
+    new_valid = filter_overlap_mask(b, valid, cfg.crop_overlap_threshold)
+
+    # ---- random flip (after resize in the reference — box math identical) ----
+    do_flip = jax.random.uniform(keys[3]) < cfg.flip_prob
+    b = jnp.where(
+        do_flip,
+        jnp.stack([b[:, 0], 1.0 - b[:, 3], b[:, 2], 1.0 - b[:, 1]], axis=-1),
+        b,
+    )
+
+    # ---- fused crop + resize warp ----
+    out_h, out_w = cfg.out_shape
+    gy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    gx = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    gx = jnp.where(do_flip, 1.0 - gx, gx)
+    sy = roi[0] + gy * rh
+    sx = roi[1] + gx * rw
+    out = _bilinear_warp_separable(image01, sy, sx, mean_color)
+
+    if cfg.color_distort is not False:  # None/True = reference SSD parity
+        out = distort_color(keys[4], out)
 
     return whiten(out), b, labels, new_valid
 

@@ -29,12 +29,20 @@ class StreamingEvaluator:
         config: DetectionConfig = DetectionConfig(),
         matching_threshold: float = 0.5,
         mesh=None,
+        loss_config=None,
+        loss_match_threshold: float = 0.5,
+        loss_ignore_threshold: float = 0.3,
     ):
         """mesh: optional jax.sharding.Mesh — shards every eval batch over
         the 'data' axis (multi-chip data-parallel inference; params are
         replicated). The reference ran eval strictly single-device
         (ref: eval_ron_network.py:137-366); batch_size must be divisible by
-        the data-axis size."""
+        the data-axis size.
+
+        loss_config: optional RonLossConfig/SsdLossConfig — report the model
+        losses on every eval batch alongside the detection metrics, like the
+        reference's eval graph did (ref: eval_ron_network.py:212-220). The
+        forward pass is shared with detection (one model.apply per batch)."""
         if mesh is not None and config.nms_method in ("auto", "pallas"):
             import dataclasses
 
@@ -52,6 +60,26 @@ class StreamingEvaluator:
                 )
             )(s, b, gl, gb, gd)
         )
+        self._loss_jit = None
+        if loss_config is not None:
+            from ..ops.encode import TargetEncoder
+            from ..train.state import detection_loss_fn
+
+            encoder = TargetEncoder(
+                spec.anchor_layout(),
+                spec.img_shape,
+                loss_match_threshold,
+                loss_ignore_threshold,
+                spec.prior_scaling,
+            )
+            loss = detection_loss_fn(loss_config)
+
+            def loss_step(out, gt_labels, gt_boxes, rng):
+                targets = encoder.batched(gt_labels, gt_boxes, gt_labels > 0)
+                _, metrics = loss(rng, out, targets)
+                return {k: v for k, v in metrics.items() if k.startswith("loss/")}
+
+            self._loss_jit = jax.jit(loss_step)
 
     def run(
         self,
@@ -66,6 +94,8 @@ class StreamingEvaluator:
         """
         acc = StreamingTpFp(self.spec.num_classes)
         n_images = 0
+        loss_sums: Dict[str, float] = {}
+        n_loss_batches = 0
         t_start = time.time()
         batch_sharding = None
         if self.mesh is not None:
@@ -90,7 +120,21 @@ class StreamingEvaluator:
                 gt_difficult = jax.device_put(
                     jnp.asarray(gt_difficult), batch_sharding
                 )
-            scores, boxes = self.detector(variables, image)
+            if self._loss_jit is not None:
+                # Shared forward: one model.apply feeds both the detection
+                # postprocess and the loss (ref: eval_ron_network.py:208-236
+                # computed both in one graph).
+                out = self.detector._apply_jit(variables, image)
+                scores, boxes = self.detector._post_jit(out)
+                batch_losses = self._loss_jit(
+                    out,
+                    jnp.asarray(gt_labels),
+                    jnp.asarray(gt_boxes),
+                    jax.random.PRNGKey(bi),
+                )
+            else:
+                batch_losses = None
+                scores, boxes = self.detector(variables, image)
             res = self._match(
                 scores,
                 boxes,
@@ -118,6 +162,12 @@ class StreamingEvaluator:
                         fp[img, c - 1],
                     )
             n_images += int(sample_valid.sum())
+            if batch_losses is not None:
+                # batch-mean losses (padding rows of a final short batch
+                # contribute empty GT — negligible over a full epoch)
+                for k, v in batch_losses.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+                n_loss_batches += 1
             if log_every and (bi + 1) % log_every == 0:
                 dt = time.time() - t_start
                 print(f"[eval] {n_images} images, {dt / n_images:.3f} sec/image")
@@ -128,4 +178,6 @@ class StreamingEvaluator:
             "images": n_images,
             "sec_per_image": (time.time() - t_start) / max(n_images, 1),
         }
+        for k, v in loss_sums.items():
+            stats[k] = v / max(n_loss_batches, 1)
         return map07, map12, aps07, stats

@@ -46,21 +46,51 @@ class RealtimeEvaluator:
         scores, labels, boxes, valid = self.detector(
             variables, batched, jnp.float32(min_size)
         )
-        scores = np.asarray(scores[0])
-        labels = np.asarray(labels[0])
-        boxes = np.asarray(boxes[0])
-        valid = np.asarray(valid[0])
+        return self._to_per_class(
+            np.asarray(scores[0]), np.asarray(labels[0]),
+            np.asarray(boxes[0]), np.asarray(valid[0]), h, w,
+        )
+
+    @staticmethod
+    def _to_per_class(scores, labels, boxes, valid, h, w) -> Dict[int, np.ndarray]:
         out: Dict[int, List] = {}
         for i in range(len(scores)):
             if not valid[i]:
                 continue
             ymin, xmin, ymax, xmax = boxes[i]
-            # scale to original pixels with the axis swap
-            # (ref: ron_eval.py:563-580)
+            # scale to pixels with the axis swap (ref: ron_eval.py:563-580)
             out.setdefault(int(labels[i]), []).append(
                 [xmin * w, ymin * h, xmax * w, ymax * h, scores[i]]
             )
         return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+    def detect_batch(self, variables, images01: np.ndarray, orig_shapes):
+        """N decoded [B,Hn,Wn,3] float[0,1] net-resolution images (mixed
+        original frames) -> list of per-class pixel-box dicts.
+
+        One device dispatch for the whole batch — the reference ran
+        sess.run per image (ref: ron_eval.py:539); per-image min-size
+        scaling rides along as a [B] vector.
+        """
+        b, h, w = images01.shape[:3]
+        cfg = self.detector.config
+        net_h, net_w = self.spec.img_shape
+        min_sizes = np.asarray(
+            [
+                cfg.min_size * float(np.sqrt((h0 * w0) / (net_h * net_w)))
+                for (h0, w0) in orig_shapes
+            ],
+            np.float32,
+        )
+        scores, labels, boxes, valid = self.detector(
+            variables, whiten(jnp.asarray(images01)), jnp.asarray(min_sizes)
+        )
+        scores, labels = np.asarray(scores), np.asarray(labels)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        return [
+            self._to_per_class(scores[i], labels[i], boxes[i], valid[i], h, w)
+            for i in range(b)
+        ]
 
     def evaluate_voc(
         self,
@@ -70,8 +100,18 @@ class RealtimeEvaluator:
         max_images: Optional[int] = None,
         output_dir: Optional[str] = None,
         use_07_metric: bool = True,
+        batch_size: int = 8,
+        decode_workers: int = 4,
     ):
-        """Full VOCdevkit evaluation loop (ref: ron_eval.py:529-594)."""
+        """Full VOCdevkit evaluation loop (ref: ron_eval.py:529-594).
+
+        De-serialized host path: a thread pool reads + JPEG-decodes +
+        resizes (cv2 releases the GIL), the next batch decodes while the
+        current one runs on device, and detection dispatches batch_size
+        images at a time — the reference decoded and ran strictly one image
+        per sess.run (ref: ron_eval.py:537-539)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         evaluator = PascalVocEvaluator(voc_root, set_type, output_dir)
         image_ids = evaluator.image_ids
         if max_images:
@@ -82,33 +122,54 @@ class RealtimeEvaluator:
         all_boxes = [
             [np.zeros((0, 5), np.float32) for _ in image_ids] for _ in range(num_classes)
         ]
-        t0 = time.time()
-        for ii, image_id in enumerate(image_ids):
-            jpeg_path = os.path.join(
-                evaluator.root, "JPEGImages", image_id + ".jpg"
-            )
-            with open(jpeg_path, "rb") as f:
-                data = f.read()
-            from ..data.pipeline import decode_jpeg_raw
-            from ..data.resize import tf1_bilinear_resize
 
-            raw = decode_jpeg_raw(data)
-            h0, w0 = raw.shape[:2]
+        from ..data.pipeline import decode_jpeg_raw
+        from ..data.resize import tf1_bilinear_resize
+
+        def load(image_id):
+            path = os.path.join(evaluator.root, "JPEGImages", image_id + ".jpg")
+            with open(path, "rb") as f:
+                raw = decode_jpeg_raw(f.read())
             # TF1-legacy bilinear (WARP_RESIZE), matching the reference's
             # preprocess_for_eval numerics (ref: tf_image.py:269-281).
             img = tf1_bilinear_resize(raw, self.spec.img_shape) / 255.0
-            per_class = self.detect_image(variables, img, orig_shape=(h0, w0))
-            for cls, rows in per_class.items():
-                rows = rows.copy()
-                rows[:, [0, 2]] *= w0 / 1.0
-                rows[:, [1, 3]] *= h0 / 1.0
-                # detect_image scaled by the resized dims; renormalize
-                rows[:, [0, 2]] /= self.spec.img_shape[1]
-                rows[:, [1, 3]] /= self.spec.img_shape[0]
-                all_boxes[cls][ii] = rows
-            if (ii + 1) % 100 == 0:
-                print(f"[ron-eval] {ii + 1}/{len(image_ids)}  "
-                      f"{(time.time() - t0) / (ii + 1):.3f} sec/image")
+            return img.astype(np.float32), raw.shape[:2]
+
+        groups = [
+            image_ids[i : i + batch_size]
+            for i in range(0, len(image_ids), batch_size)
+        ]
+        t0 = time.time()
+        n_done = 0
+        with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+            pending = [pool.submit(load, i) for i in groups[0]] if groups else []
+            for gi, ids in enumerate(groups):
+                loaded = [f.result() for f in pending]
+                if gi + 1 < len(groups):  # double buffer: decode ahead
+                    pending = [pool.submit(load, i) for i in groups[gi + 1]]
+                images = np.stack([im for im, _ in loaded])
+                shapes = [s for _, s in loaded]
+                if len(ids) < batch_size:  # pad the final short batch
+                    pad = batch_size - len(ids)
+                    images = np.concatenate(
+                        [images, np.zeros((pad, *images.shape[1:]), np.float32)]
+                    )
+                    shapes = shapes + [self.spec.img_shape] * pad
+                per_class_list = self.detect_batch(variables, images, shapes)
+                for k, image_id in enumerate(ids):
+                    ii = gi * batch_size + k
+                    h0, w0 = loaded[k][1]
+                    for cls, rows in per_class_list[k].items():
+                        rows = rows.copy()
+                        # detect_batch scaled by the net dims; rescale to the
+                        # original frame
+                        rows[:, [0, 2]] *= w0 / self.spec.img_shape[1]
+                        rows[:, [1, 3]] *= h0 / self.spec.img_shape[0]
+                        all_boxes[cls][ii] = rows
+                n_done += len(ids)
+                if (gi + 1) % max(1, 100 // batch_size) == 0:
+                    print(f"[ron-eval] {n_done}/{len(image_ids)}  "
+                          f"{(time.time() - t0) / n_done:.3f} sec/image")
 
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)

@@ -212,10 +212,12 @@ class RealtimeDetector:
     def __call__(self, variables, images, min_size=None):
         """-> (scores, labels, boxes, valid) each [B, keep_top_k(,4)].
 
-        min_size: optional scalar overriding config.min_size — the caller
-        passes `config.min_size * sqrt(H0*W0 / (Hnet*Wnet))` so the filter
-        matches the reference's original-frame scaling
-        (ref: ron_eval.py:369-375)."""
+        min_size: optional scalar or per-image [B] vector overriding
+        config.min_size — the caller passes
+        `config.min_size * sqrt(H0*W0 / (Hnet*Wnet))` so the filter matches
+        the reference's original-frame scaling (ref: ron_eval.py:369-375);
+        batched callers mix frames of different original sizes in one
+        dispatch."""
         out = self.model.apply(variables, images, train=False)
         return self.postprocess(out, min_size=min_size)
 
@@ -223,10 +225,11 @@ class RealtimeDetector:
         cfg = self.config
         if min_size is None:
             min_size = cfg.min_size
-        min_size = jnp.maximum(jnp.float32(min_size), 1e-4)
+        min_size = jnp.maximum(jnp.asarray(min_size, jnp.float32), 1e-4)
+        min_size = jnp.broadcast_to(min_size, out.predictions.shape[:1])  # [B]
         decoded = decode_boxes(out.locations, self._anchors, self.spec.prior_scaling)
 
-        def per_image(preds, objness, dec):
+        def per_image(preds, objness, dec, min_size):
             # score = objness * class prob; argmax class
             # (ref: ron_eval.py:111-144 flaten_predict)
             scores_nc = objness[:, None] * preds
@@ -252,4 +255,6 @@ class RealtimeDetector:
                 mode=cfg.nms_mode,
             )
 
-        return jax.vmap(per_image)(out.predictions, out.objness_pred, decoded)
+        return jax.vmap(per_image)(
+            out.predictions, out.objness_pred, decoded, min_size
+        )

@@ -35,6 +35,10 @@ class BatchNorm(nn.Module):
 
     use_running_average: bool = True
     axis_name: Optional[str] = None
+    # Defaults = the RON arg scope; the inception-family zoo overrides
+    # epsilon to 1e-3 (slim inception and torchvision both use 0.001).
+    epsilon: float = BN_EPSILON
+    momentum: float = BN_MOMENTUM
 
     @nn.compact
     def __call__(self, x):
@@ -53,7 +57,7 @@ class BatchNorm(nn.Module):
             # Inference: one fused scale/shift in the activation dtype so XLA
             # keeps the conv->BN->ReLU chain in bf16 (an f32 round-trip here
             # splits the fusion and doubles HBM traffic).
-            s = scale / jnp.sqrt(ra_var.value + BN_EPSILON)
+            s = scale / jnp.sqrt(ra_var.value + self.epsilon)
             b = bias - ra_mean.value * s
             return x * s.astype(orig_dtype) + b.astype(orig_dtype)
 
@@ -70,9 +74,9 @@ class BatchNorm(nn.Module):
             mean = jax.lax.pmean(mean, self.axis_name)
             mean2 = jax.lax.pmean(mean2, self.axis_name)
         var = jnp.maximum(mean2 - mean * mean, 0.0)
-        ra_mean.value = BN_MOMENTUM * ra_mean.value + (1.0 - BN_MOMENTUM) * mean
-        ra_var.value = BN_MOMENTUM * ra_var.value + (1.0 - BN_MOMENTUM) * var
-        y = (x32 - mean) / jnp.sqrt(var + BN_EPSILON) * scale + bias
+        ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+        ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        y = (x32 - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
         return y.astype(orig_dtype)
 
 
@@ -94,6 +98,7 @@ class Conv(nn.Module):
     padding: str = "SAME"
     train: bool = False
     dtype: Dtype = jnp.float32
+    bn_epsilon: float = BN_EPSILON
 
     @nn.compact
     def __call__(self, x):
@@ -111,7 +116,11 @@ class Conv(nn.Module):
             name="conv",
         )(x)
         if self.norm:
-            x = BatchNorm(use_running_average=not self.train, name="bn")(x)
+            x = BatchNorm(
+                use_running_average=not self.train,
+                epsilon=self.bn_epsilon,
+                name="bn",
+            )(x)
         if self.act is not None:
             x = self.act(x)
         return x

@@ -38,6 +38,11 @@ class ConvBN(nn.Module):
             norm=True,
             train=self.train,
             dtype=self.dtype,
+            # inception-family BN epsilon (slim inception_v3 arg scope and
+            # torchvision BasicConv2d both use 0.001 — weight-import parity
+            # depends on it)
+            bn_epsilon=1e-3,
+            name="conv",
         )(x)
 
 
@@ -207,7 +212,7 @@ class SeparableConvBN(nn.Module):
             self.features, (1, 1), use_bias=False, dtype=self.dtype,
             param_dtype=jnp.float32, name="pointwise",
         )(x)
-        return BatchNorm(use_running_average=not self.train, name="bn")(x)
+        return BatchNorm(use_running_average=not self.train, epsilon=1e-3, name="bn")(x)
 
 
 class XceptionBlock(nn.Module):
@@ -223,7 +228,7 @@ class XceptionBlock(nn.Module):
             self.features, (1, 1), strides=self.strides, use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32, name="shortcut",
         )(x)
-        res = BatchNorm(use_running_average=not self.train, name="shortcut_bn")(res)
+        res = BatchNorm(use_running_average=not self.train, epsilon=1e-3, name="shortcut_bn")(res)
         y = x
         for i in range(2):
             if self.relu_first or i > 0:
@@ -265,7 +270,7 @@ class Xception(nn.Module):
         eps["middle"] = x
         res = nn.Conv(1024, (1, 1), strides=(2, 2), use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32, name="exit_shortcut")(x)
-        res = BatchNorm(use_running_average=not self.train, name="exit_shortcut_bn")(res)
+        res = BatchNorm(use_running_average=not self.train, epsilon=1e-3, name="exit_shortcut_bn")(res)
         y = nn.relu(x)
         y = SeparableConvBN(728, train=self.train, dtype=self.dtype, name="exit_sep1")(y)
         y = nn.relu(y)

@@ -12,7 +12,14 @@ multi-host runs reuse the identical program with per-process data sharding
 datasets/pascalvoc_common.py:76-88).
 """
 
-from .mesh import make_mesh, partition_batch, partition_params, partition_rules
+from .mesh import (
+    make_mesh,
+    partition_batch,
+    partition_batch_stats,
+    partition_opt_state,
+    partition_params,
+    partition_rules,
+)
 from .multihost import (
     host_local_to_global,
     host_tree_to_global,
@@ -23,6 +30,8 @@ from .multihost import (
 __all__ = [
     "make_mesh",
     "partition_batch",
+    "partition_batch_stats",
+    "partition_opt_state",
     "partition_params",
     "partition_rules",
     "host_local_to_global",

@@ -56,12 +56,22 @@ _TP_KERNEL_PATTERNS = (
     r".*_box/conv/conv/kernel",
 )
 _TP_BIAS_PATTERNS = tuple(p.replace("kernel", "bias") for p in _TP_KERNEL_PATTERNS)
+# BN of a TP-sharded conv is per-output-channel -> its affine params and
+# running stats shard on 'model' too (the compiler propagates the conv's
+# output sharding onto them; declaring them replicated fails on step 2).
+_TP_BN_PARAM_PATTERNS = tuple(
+    p.replace("conv/kernel", "bn/(scale|bias)") for p in _TP_KERNEL_PATTERNS
+)
+_TP_BN_STATS_PATTERNS = tuple(
+    p.replace("conv/kernel", "bn/(mean|var)") for p in _TP_KERNEL_PATTERNS
+)
 
 
 def partition_rules():
     """(pattern, spec) rules for model-parallel parameters."""
     rules = [(re.compile(p), P(None, None, None, "model")) for p in _TP_KERNEL_PATTERNS]
     rules += [(re.compile(p), P("model")) for p in _TP_BIAS_PATTERNS]
+    rules += [(re.compile(p), P("model")) for p in _TP_BN_PARAM_PATTERNS]
     return rules
 
 
@@ -84,6 +94,49 @@ def partition_params(params, mesh: Mesh):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def partition_batch_stats(batch_stats, mesh: Mesh):
+    """NamedSharding tree for BN running stats: 'model'-sharded for BNs
+    that follow a TP-sharded conv, replicated otherwise."""
+    rules = [(re.compile(p), P("model")) for p in _TP_BN_STATS_PATTERNS]
+    use_tp = mesh.shape.get("model", 1) > 1
+
+    def spec_for(path, leaf):
+        if use_tp:
+            s = _path_str(path)
+            for pat, spec in rules:
+                if pat.fullmatch(s):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, batch_stats)
+
+
+def partition_opt_state(opt_state, params, mesh: Mesh):
+    """NamedSharding tree for an optax state: any params-structured subtree
+    (momentum/trace/EMA accumulators) inherits the param shardings; scalar
+    leaves (step counts) are replicated.
+
+    Without this, TP>1 runs crash on the SECOND step: the compiler
+    propagates the param sharding onto the momentum outputs, which then no
+    longer match a replicated in_sharding declaration.
+    """
+    ptree = jax.tree_util.tree_structure(params)
+    pshard = partition_params(params, mesh)
+
+    def is_params_like(node):
+        try:
+            return jax.tree_util.tree_structure(node) == ptree
+        except Exception:
+            return False
+
+    def assign(node):
+        if is_params_like(node):
+            return pshard
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), node)
+
+    return jax.tree.map(assign, opt_state, is_leaf=is_params_like)
 
 
 def partition_batch(batch, mesh: Mesh):

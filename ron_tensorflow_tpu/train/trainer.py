@@ -37,7 +37,13 @@ from ..data.preprocess import PreprocessConfig, train_augment_batch
 from ..data.tfrecord import list_shards
 from ..models import get_network
 from ..ops.encode import TargetEncoder
-from ..parallel import make_mesh, partition_batch, partition_params
+from ..parallel import (
+    make_mesh,
+    partition_batch,
+    partition_batch_stats,
+    partition_opt_state,
+    partition_params,
+)
 from ..utils.summaries import MetricsWriter
 from ..utils.profiling import StepTimer
 from .checkpoint import (
@@ -64,7 +70,12 @@ class Trainer:
             self.spec.prior_scaling,
         )
         self.tx = make_optimizer(config.optimizer)
-        self.preprocess_config = PreprocessConfig(out_shape=self.spec.img_shape)
+        variant = config.augment_variant
+        if variant == "auto":
+            variant = "ssd" if config.model.startswith("ssd") else "ron"
+        self.preprocess_config = PreprocessConfig(
+            out_shape=self.spec.img_shape, variant=variant
+        )
 
         # SSD models train with the hard-negative-mining loss family.
         loss_config = config.loss
@@ -207,16 +218,16 @@ class Trainer:
         mesh = make_mesh(cfg.mesh_shape)
         state = self.init_state()
 
+        params_shardings = partition_params(state.params, mesh)
         state_shardings = state.replace(
             step=NamedSharding(mesh, P()),
-            params=partition_params(state.params, mesh),
-            batch_stats=jax.tree.map(lambda _: NamedSharding(mesh, P()), state.batch_stats),
-            opt_state=jax.tree.map(lambda _: NamedSharding(mesh, P()), state.opt_state),
-            ema_params=(
-                jax.tree.map(lambda _: NamedSharding(mesh, P()), state.ema_params)
-                if state.ema_params is not None
-                else None
-            ),
+            params=params_shardings,
+            batch_stats=partition_batch_stats(state.batch_stats, mesh),
+            # momentum/EMA follow the param sharding — with TP>1 the
+            # compiler propagates it onto the step outputs, and declaring
+            # them replicated would fail on the second step.
+            opt_state=partition_opt_state(state.opt_state, state.params, mesh),
+            ema_params=params_shardings if state.ema_params is not None else None,
         )
         if n_proc > 1:
             # Multi-process (the reference's between-graph rig,
@@ -230,9 +241,14 @@ class Trainer:
             state = jax.device_put(state, state_shardings)
         # donate the state: params/opt_state/EMA update in place instead of
         # allocating (and copying) a fresh ~3x-params footprint every step.
+        # out_shardings pins the new state to the SAME shardings as the
+        # input — without it the compiler is free to re-shard outputs (e.g.
+        # input-channel-shard a consumer of a TP layer), and the next step's
+        # in_shardings declaration would no longer match.
         step_fn = jax.jit(
             self._full_step,
             in_shardings=(state_shardings, None, None),
+            out_shardings=(state_shardings, None),
             donate_argnums=(0,),
         )
 
@@ -315,8 +331,29 @@ class Trainer:
                 self._dump_debug_image(batch, rng, step, tb)
 
             time_due = time.time() - last_save_time > cfg.save_interval_secs
+            if n_proc > 1:
+                # orbax save is collective — every process must make the
+                # same decision. Clocks drift, so the primary's time_due is
+                # broadcast (checked every 16 steps to bound the cost; the
+                # reference saved time-based from the chief only,
+                # ref: ron_net.py:415).
+                if step % 16 == 0:
+                    from jax.experimental import multihost_utils
+
+                    time_due = bool(
+                        multihost_utils.broadcast_one_to_all(
+                            np.int32(time_due if primary else 0)
+                        )
+                    )
+                else:
+                    time_due = False
             if step % cfg.save_every_steps == 0 or time_due or step >= max_steps:
-                self._ckpt.save(step, jax.device_get(state))
+                # Multi-process: hand orbax the GLOBAL jax.Arrays — with
+                # TP>1 across processes the shards are not fully addressable
+                # and jax.device_get would fail; orbax writes each process's
+                # addressable shards (and copies out of device buffers
+                # before returning, so donation on the next step is safe).
+                self._ckpt.save(step, state if n_proc > 1 else jax.device_get(state))
                 if hasattr(it, "state_json"):  # every process: own shard position
                     with open(input_state_path, "w") as f:
                         f.write(it.state_json())

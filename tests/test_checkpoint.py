@@ -85,6 +85,7 @@ def test_torch_vgg_mapping():
     assert flat["backbone/conv1_2/conv/kernel"].shape == (3, 3, 64, 64)
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     from ron_tensorflow_tpu.models.ron import RON
     from ron_tensorflow_tpu.models.testing import RON_TINY_SPEC

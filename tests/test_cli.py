@@ -97,6 +97,7 @@ def cli_workspace(tmp_path_factory):
     }
 
 
+@pytest.mark.slow
 def test_cli_convert_and_train_outputs(cli_workspace):
     shards = [
         f for f in os.listdir(cli_workspace["records"]) if f.endswith(".tfrecord")
@@ -174,6 +175,7 @@ def test_cli_inspect_ckpt(cli_workspace, capsys):
     assert "conv1_1" in out and "l2=" in out
 
 
+@pytest.mark.slow
 def test_cli_train_resume_and_ema_eval(cli_workspace, tmp_path, capsys):
     """EMA training -> EMA-restore eval (use_ema=true), plus resume."""
     model_dir = str(tmp_path / "ema_model")
@@ -209,6 +211,7 @@ def test_cli_train_resume_and_ema_eval(cli_workspace, tmp_path, capsys):
     assert "restored step 3" in out and "mAP (VOC07 metric)" in out
 
 
+@pytest.mark.slow
 def test_cli_eval_wait_for_checkpoints(cli_workspace, tmp_path, capsys, monkeypatch):
     """Continuous-eval mode (ref: eval_ssd_network.py wait_for_checkpoints):
     a second checkpoint appearing between polls is picked up and evaluated."""
@@ -246,6 +249,7 @@ def test_cli_eval_wait_for_checkpoints(cli_workspace, tmp_path, capsys, monkeypa
     assert out.count("mAP (VOC07 metric)") == 2
 
 
+@pytest.mark.slow
 def test_cli_import_ckpt_torch_then_infer(cli_workspace, tmp_path, capsys):
     """Reference-user migration path: torch VGG16 state_dict -> import-ckpt
     -> orbax model dir -> infer restores it."""

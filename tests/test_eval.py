@@ -153,6 +153,7 @@ def test_streaming_evaluator_tiny_model():
     assert 0.0 <= map07 <= 1.0 and 0.0 <= map12 <= 1.0
 
 
+@pytest.mark.slow
 def test_streaming_evaluator_sharded_mesh_matches_single_device():
     """Multi-chip data-parallel eval: batch sharded over an 8-device mesh
     must reproduce the single-device metrics exactly."""
@@ -193,3 +194,80 @@ def test_streaming_evaluator_sharded_mesh_matches_single_device():
     assert m07_m == pytest.approx(m07_s, abs=1e-9)
     assert m12_m == pytest.approx(m12_s, abs=1e-9)
     assert aps_m == pytest.approx(aps_s, abs=1e-9)
+
+
+def test_streaming_evaluator_reports_losses():
+    """With loss_config set, eval stats carry the model losses computed on
+    every batch (ref: eval_ron_network.py:212-220 computed losses in the
+    eval graph)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ron_tensorflow_tpu.eval import StreamingEvaluator
+    from ron_tensorflow_tpu.inference.detector import DetectionConfig
+    from ron_tensorflow_tpu.losses.ron import RonLossConfig
+    from ron_tensorflow_tpu.models.ron import RON
+    from ron_tensorflow_tpu.models.testing import RON_TINY_SPEC
+
+    model = RON(spec=RON_TINY_SPEC)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    ev = StreamingEvaluator(
+        model,
+        RON_TINY_SPEC,
+        DetectionConfig(top_k=64, keep_top_k=16, objectness_threshold=0.0),
+        loss_config=RonLossConfig(num_classes=RON_TINY_SPEC.num_classes),
+        loss_match_threshold=0.5,
+    )
+
+    def batches():
+        rng = np.random.default_rng(0)
+        for _ in range(2):
+            yield {
+                "image": rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32),
+                "gt_labels": np.array([[3, 0], [7, 0]], np.int32),
+                "gt_boxes": np.array(
+                    [[[0.2, 0.2, 0.6, 0.6], [0, 0, 0, 0]],
+                     [[0.1, 0.3, 0.5, 0.9], [0, 0, 0, 0]]],
+                    np.float32,
+                ),
+                "gt_difficult": np.zeros((2, 2), np.int32),
+            }
+
+    map07, map12, aps, stats = ev.run(variables, batches(), log_every=0)
+    for key in ("loss/total", "loss/objectness", "loss/classification",
+                "loss/localization"):
+        assert key in stats and np.isfinite(stats[key])
+    assert stats["loss/total"] > 0.0
+
+
+def test_realtime_detect_batch_matches_single():
+    """Batched realtime dispatch (one XLA program for N mixed-size frames,
+    per-image min-size vector) must reproduce the per-image path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ron_tensorflow_tpu.eval.realtime import RealtimeEvaluator
+    from ron_tensorflow_tpu.inference.detector import RealtimeConfig
+    from ron_tensorflow_tpu.models.ron import RON
+    from ron_tensorflow_tpu.models.testing import RON_TINY_SPEC
+
+    model = RON(spec=RON_TINY_SPEC)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    ev = RealtimeEvaluator(
+        model,
+        RON_TINY_SPEC,
+        RealtimeConfig(objectness_threshold=0.0, select_threshold=0.01, top_k=64,
+                       keep_top_k=16),
+    )
+    rng = np.random.default_rng(3)
+    images = rng.normal(0.5, 0.2, (3, 64, 64, 3)).astype(np.float32)
+    orig_shapes = [(480, 640), (333, 500), (64, 64)]
+
+    batched = ev.detect_batch(variables, images, orig_shapes)
+    for i in range(3):
+        single = ev.detect_image(variables, images[i], orig_shape=orig_shapes[i])
+        assert set(single.keys()) == set(batched[i].keys())
+        for cls in single:
+            np.testing.assert_allclose(
+                batched[i][cls], single[cls], rtol=1e-5, atol=1e-5
+            )

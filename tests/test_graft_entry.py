@@ -34,6 +34,7 @@ def test_dryrun_multichip_8_devices():
     graft.dryrun_multichip(8)  # asserts finite loss internally
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2_devices():
     # Cheap variant kept un-marked so every test run exercises the path.
     graft.dryrun_multichip(2)

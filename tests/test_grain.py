@@ -101,6 +101,7 @@ def test_grain_state_checkpoint_resumes_exactly(tmp_path):
     np.testing.assert_array_equal(want["gt_labels"], got["gt_labels"])
 
 
+@pytest.mark.slow
 def test_trainer_grain_resume_restores_input_position(tmp_path, monkeypatch):
     """Resume continues the input stream at the next unseen sample."""
     from dataclasses import replace

@@ -152,3 +152,85 @@ def test_two_process_trainer_end_to_end(tmp_path):
             for p in jax.tree.leaves(variables["params"]))
     )
     assert got == pytest.approx(fps[0], rel=1e-6)
+
+
+TP_WORKER = REPO / "tools" / "multiprocess_tp_worker.py"
+
+
+@pytest.mark.slow
+def test_two_process_tp_checkpoint_roundtrip(tmp_path):
+    """TP>1 across processes (VERDICT r2 #4): the Trainer on a (2,2) dp x tp
+    mesh over 2 jax.distributed processes saves through the orbax
+    global-array path; a mid-run save + resume reproduces the
+    straight-through run bit-identically, and a genuinely non-addressable
+    sharded tree (model axis spanning processes) round-trips exactly."""
+    nproc = 2
+    _write_mp_shards(tmp_path)
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": str(REPO),
+        # the GSPMD-partitioned step is a multi-minute CPU compile; share it
+        # across the three runs below
+        "JAX_COMPILATION_CACHE_DIR": str(tmp_path / "jax_cache"),
+    }
+
+    def run(model_dir, max_steps, save_every, nonaddr_dir):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(TP_WORKER), str(port), str(i), str(nproc),
+                 str(max_steps), str(save_every), str(tmp_path),
+                 str(model_dir), str(nonaddr_dir)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(nproc)
+        ]
+        results = []
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            assert p.returncode == 0, f"tp worker failed:\n{err[-3000:]}"
+            results.append(json.loads(out.strip().splitlines()[-1]))
+        return results
+
+    dir_a, dir_b = tmp_path / "model_a", tmp_path / "model_b"
+    res_a = run(dir_a, 4, 4, tmp_path / "na_a")  # straight through
+    res_b1 = run(dir_b, 2, 2, tmp_path / "na_b1")  # save mid-run...
+    res_b2 = run(dir_b, 4, 2, tmp_path / "na_b2")  # ...resume to the end
+    for res in (res_a, res_b1, res_b2):
+        assert all(r["nonaddr_ok"] for r in res), res
+    assert all(r["step"] == 4 for r in res_a + res_b2)
+    assert all(r["step"] == 2 for r in res_b1)
+
+    # Both step-4 checkpoints must hold bit-identical parameters.
+    import jax
+    import jax.numpy as jnp
+
+    from ron_tensorflow_tpu.models import get_network
+    from ron_tensorflow_tpu.train.checkpoint import CheckpointManager, flatten_params
+
+    model, spec = get_network("ron_tiny_vgg")
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+    )
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+    def load(d):
+        variables, step = CheckpointManager(str(d)).restore_eval(
+            zeros["params"], zeros.get("batch_stats", {})
+        )
+        assert step == 4
+        return flatten_params(variables)
+
+    flat_a, flat_b = load(dir_a), load(dir_b)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(flat_a[k]), np.asarray(flat_b[k]), err_msg=k
+        )

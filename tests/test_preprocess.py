@@ -111,3 +111,75 @@ def test_distort_color_bounds():
     assert out.shape == img.shape
     o = np.asarray(out)
     assert (o >= 0).all() and (o <= 1).all()
+
+
+# --------------------------------------------------------------------------- #
+# SSD variant (ref: ssd_vgg_preprocessing.py:233-295 preprocess_for_train)
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_ssd_augment_invariants(seed):
+    img = make_image()
+    boxes, labels, valid = make_gt()
+    cfg = PreprocessConfig(out_shape=(32, 32), variant="ssd")
+    out, b, l, v = train_augment(jax.random.PRNGKey(seed), img, boxes, labels, valid, cfg)
+    assert out.shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    assert b.shape == boxes.shape and l.shape == labels.shape
+    # keep-at-least-one (BBOX_CROP_OVERLAP filter always keeps the best
+    # valid box, ref: tf_extended/bboxes.py:491-495)
+    assert np.asarray(v).any()
+    # padded GT rows never become valid
+    assert not np.asarray(v)[~np.asarray(valid)].any()
+    # surviving boxes are NOT clipped to [0,1] (the reference leaves the
+    # crop-frame boxes unclipped) but must be well-formed
+    bb = np.asarray(b)[np.asarray(v)]
+    assert (bb[:, 2] >= bb[:, 0]).all() and (bb[:, 3] >= bb[:, 1]).all()
+
+
+def test_ssd_augment_applies_color_distortion():
+    """Unlike the RON chain (which computes then discards the distortion),
+    the SSD chain applies it — same rng with color_distort=False must give a
+    different image but identical geometry (boxes/validity)."""
+    img = make_image()
+    boxes, labels, valid = make_gt()
+    key = jax.random.PRNGKey(7)
+    cfg_on = PreprocessConfig(out_shape=(32, 32), variant="ssd")
+    cfg_off = PreprocessConfig(out_shape=(32, 32), variant="ssd", color_distort=False)
+    out_on, b_on, _, v_on = train_augment(key, img, boxes, labels, valid, cfg_on)
+    out_off, b_off, _, v_off = train_augment(key, img, boxes, labels, valid, cfg_off)
+    assert not np.allclose(np.asarray(out_on), np.asarray(out_off))
+    np.testing.assert_array_equal(np.asarray(b_on), np.asarray(b_off))
+    np.testing.assert_array_equal(np.asarray(v_on), np.asarray(v_off))
+
+
+def test_ssd_vs_ron_distinct_statistics():
+    """The two chains have measurably different augmentation statistics:
+    the RON chain zooms OUT half the time (2x expand canvas -> surviving
+    boxes shrink), the SSD chain only zooms IN (crop area <= 1). Compare
+    the mean surviving-box area ratio over many seeds."""
+    img = make_image()
+    boxes, labels, valid = make_gt()
+    in_area = np.asarray((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+
+    def mean_area_ratio(variant):
+        ratios = []
+        cfg = PreprocessConfig(out_shape=(32, 32), variant=variant,
+                               color_distort=False)
+        for seed in range(24):
+            _, b, _, v = train_augment(
+                jax.random.PRNGKey(seed), img, boxes, labels, valid, cfg
+            )
+            b, v = np.asarray(b), np.asarray(v)
+            area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+            for i in range(len(v)):
+                if v[i]:
+                    ratios.append(area[i] / in_area[i])
+        return float(np.mean(ratios))
+
+    ron, ssd = mean_area_ratio("ron"), mean_area_ratio("ssd")
+    # SSD crops enlarge boxes on average (zoom-in only); RON's expand step
+    # shrinks them half the time.
+    assert ssd > ron
+    assert ssd > 1.0

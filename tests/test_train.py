@@ -56,6 +56,7 @@ def tiny_setup(batch=2, ema=False):
     return model, encoder, tx, state, batch_data
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_fixed_batch():
     model, encoder, tx, state, batch = tiny_setup()
     step = jax.jit(make_train_step(model, encoder, tx, RonLossConfig()))
@@ -68,6 +69,7 @@ def test_loss_decreases_on_fixed_batch():
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_batch_stats_update():
     model, encoder, tx, state, batch = tiny_setup()
     step = jax.jit(make_train_step(model, encoder, tx))
@@ -77,6 +79,7 @@ def test_batch_stats_update():
     assert not np.allclose(np.asarray(bs_before), np.asarray(bs_after))
 
 
+@pytest.mark.slow
 def test_ema_tracks_params():
     model, encoder, tx, state, batch = tiny_setup(ema=True)
     step = jax.jit(make_train_step(model, encoder, tx, ema_decay=0.9))
@@ -87,6 +90,7 @@ def test_ema_tracks_params():
     np.testing.assert_allclose(np.asarray(e), 0.9 * np.asarray(p0) + 0.1 * np.asarray(p), atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
 def test_sharded_train_step_cpu_mesh(mesh_shape):
     """Full DP(+TP) train step over the virtual 8-device mesh."""

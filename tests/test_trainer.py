@@ -78,6 +78,7 @@ def tiny_train_config(tmp_path, monkeypatch):
     return cfg
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_and_resume(tiny_train_config):
     from ron_tensorflow_tpu.train.trainer import Trainer
 
@@ -105,6 +106,7 @@ def test_trainer_end_to_end_and_resume(tiny_train_config):
     assert int(state2.step) == 6
 
 
+@pytest.mark.slow
 def test_trainer_time_based_save(tiny_train_config, tmp_path):
     """save_interval_secs triggers checkpoints between save_every_steps marks
     (ref: ron_net.py:415 save_interval_secs)."""
@@ -127,6 +129,7 @@ def test_trainer_time_based_save(tiny_train_config, tmp_path):
     assert sorted(t._ckpt._mgr.all_steps()) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_trainer_float32_transport_branch(tiny_train_config, tmp_path):
     """The batches= hook feeds float01 images (the non-uint8 branch of
     full_step); make_batches covers the uint8 branch in the e2e test."""

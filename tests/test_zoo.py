@@ -41,3 +41,199 @@ def test_inception_resnet_v2_forward():
     logits, eps = m.apply(v, x)
     assert logits.shape == (1, 10)
     assert eps["conv7b"].shape[-1] == 1536
+
+
+# --------------------------------------------------------------------------- #
+# Torchvision weight-import parity (VERDICT r2 #9: make the zoo honest)
+# --------------------------------------------------------------------------- #
+
+
+def _torch_inception_v3():
+    """Minimal torch replica of torchvision's Inception3 (eval graph only:
+    no aux head, transform_input=False) with torchvision-identical module
+    names, so its state_dict has the exact layout of the public pretrained
+    checkpoints (`Inception_V3_Weights`). Used as the independent reference
+    implementation for converter parity."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, i, o, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(i, o, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(o, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)), inplace=True)
+
+    class InceptionA(nn.Module):
+        def __init__(self, i, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(i, 64, kernel_size=1)
+            self.branch5x5_1 = BasicConv2d(i, 48, kernel_size=1)
+            self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(i, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = BasicConv2d(i, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            b0 = self.branch1x1(x)
+            b1 = self.branch5x5_2(self.branch5x5_1(x))
+            b2 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([b0, b1, b2, bp], 1)
+
+    class InceptionB(nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(i, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(i, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            b0 = self.branch3x3(x)
+            b1 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            return torch.cat([b0, b1, F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionC(nn.Module):
+        def __init__(self, i, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(i, 192, kernel_size=1)
+            self.branch7x7_1 = BasicConv2d(i, c7, kernel_size=1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(i, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BasicConv2d(i, 192, kernel_size=1)
+
+        def forward(self, x):
+            b0 = self.branch1x1(x)
+            b1 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            b2 = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([b0, b1, b2, bp], 1)
+
+    class InceptionD(nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(i, 192, kernel_size=1)
+            self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(i, 192, kernel_size=1)
+            self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            b0 = self.branch3x3_2(self.branch3x3_1(x))
+            b1 = self.branch7x7x3_4(self.branch7x7x3_3(
+                self.branch7x7x3_2(self.branch7x7x3_1(x))))
+            return torch.cat([b0, b1, F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionE(nn.Module):
+        def __init__(self, i):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(i, 320, kernel_size=1)
+            self.branch3x3_1 = BasicConv2d(i, 384, kernel_size=1)
+            self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(i, 448, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BasicConv2d(i, 192, kernel_size=1)
+
+        def forward(self, x):
+            b0 = self.branch1x1(x)
+            b1 = self.branch3x3_1(x)
+            b1 = torch.cat([self.branch3x3_2a(b1), self.branch3x3_2b(b1)], 1)
+            b2 = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            b2 = torch.cat([self.branch3x3dbl_3a(b2), self.branch3x3dbl_3b(b2)], 1)
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([b0, b1, b2, bp], 1)
+
+    class Inception3(nn.Module):
+        def __init__(self, num_classes=1000):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+            self.Mixed_5b = InceptionA(192, 32)
+            self.Mixed_5c = InceptionA(256, 64)
+            self.Mixed_5d = InceptionA(288, 64)
+            self.Mixed_6a = InceptionB(288)
+            self.Mixed_6b = InceptionC(768, 128)
+            self.Mixed_6c = InceptionC(768, 160)
+            self.Mixed_6d = InceptionC(768, 160)
+            self.Mixed_6e = InceptionC(768, 192)
+            self.Mixed_7a = InceptionD(768)
+            self.Mixed_7b = InceptionE(1280)
+            self.Mixed_7c = InceptionE(2048)
+            self.fc = nn.Linear(2048, num_classes)
+
+        def forward(self, x):
+            x = self.Conv2d_1a_3x3(x)
+            x = self.Conv2d_2a_3x3(x)
+            x = self.Conv2d_2b_3x3(x)
+            x = F.max_pool2d(x, 3, stride=2)
+            x = self.Conv2d_3b_1x1(x)
+            x = self.Conv2d_4a_3x3(x)
+            x = F.max_pool2d(x, 3, stride=2)
+            x = self.Mixed_5b(x)
+            x = self.Mixed_5c(x)
+            x = self.Mixed_5d(x)
+            x = self.Mixed_6a(x)
+            x = self.Mixed_6b(x)
+            x = self.Mixed_6c(x)
+            x = self.Mixed_6d(x)
+            x = self.Mixed_6e(x)
+            x = self.Mixed_7a(x)
+            x = self.Mixed_7b(x)
+            x = self.Mixed_7c(x)
+            x = torch.mean(x, dim=(2, 3))
+            return self.fc(x)
+
+    return Inception3()
+
+
+@pytest.mark.slow
+def test_inception_v3_torch_import_logit_parity():
+    """inception_v3_from_torch maps a torchvision-layout state_dict onto our
+    flax InceptionV3 with logit parity vs the torch forward — the zoo is
+    usable with the public pretrained checkpoints, not just shapes-on-paper
+    (ref intent: nets/xception.py:156-283 Keras-weights loading scope)."""
+    import torch
+
+    from ron_tensorflow_tpu.models.zoo import InceptionV3
+    from ron_tensorflow_tpu.models.zoo_import import inception_v3_from_torch
+
+    torch.manual_seed(0)
+    tm = _torch_inception_v3()
+    # randomize BN running stats so parity exercises them (fresh init is
+    # mean=0/var=1, which would mask mean/var mapping bugs)
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    tm.eval()
+
+    x = np.random.default_rng(0).normal(0, 1, (2, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    variables = inception_v3_from_torch(tm.state_dict())
+    model = InceptionV3(num_classes=1000)
+    got, _ = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)

@@ -1,0 +1,319 @@
+"""21-class VOC-scale synthetic dress rehearsal of the flagship recipe
+(VERDICT r2 #3).
+
+Generates a 21-class shapes dataset at VOC scale — default 10k train / 1k
+test images at VOC-like variable resolutions, 1-4 objects each, ~10%
+difficult flags — in BOTH layouts from the SAME samples: TFRecord shards
+(streaming eval) and a VOCdevkit tree (realtime eval + official VOC
+protocol). Trains the published recipe shape (bs 14, momentum 0.9, lr 1e-3
+piecewise x{1, 0.1, 0.01} at 75%/96% of the schedule, warm start from an
+imported torch-format VGG16 checkpoint — ref: ron_net.py:52-63,95-105,
+152-155), then evaluates with the streaming AND realtime paths and checks
+they agree.
+
+Run: PYTHONPATH=.:/root/.axon_site python tools/dress_rehearsal.py [workdir]
+Env:
+  DR_MODEL  ron_320_vgg (default) | ron_320_vgg_heavy | ssd_512_vgg
+  DR_STEPS  total steps (default 20000)
+  DR_TRAIN / DR_TEST  dataset sizes (default 10000 / 1000)
+  DR_BATCH  batch size (default 14 — the published flag)
+  DR_OBJ_THRESH  realtime objectness gate (default 0.95 — the published flag)
+  DR_SKIP_TRAIN=1  reuse an existing workdir's checkpoint (eval only)
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# The 20 VOC class names keep the VOCdevkit evaluator's name->index mapping
+# intact; class k's synthetic appearance is (shape, color) combo k.
+SHAPES = ("rect", "ellipse", "triangle", "bar", "ring")
+COLORS = ((235, 45, 45), (45, 235, 45), (65, 65, 245), (235, 235, 45))
+
+
+def _draw_object(draw, cls, box):
+    """Deterministic appearance per class id (1..20)."""
+    shape = SHAPES[(cls - 1) % 5]
+    color = COLORS[(cls - 1) // 5]
+    x0, y0, x1, y1 = box
+    if shape == "rect":
+        draw.rectangle(box, fill=color)
+    elif shape == "ellipse":
+        draw.ellipse(box, fill=color)
+    elif shape == "triangle":
+        draw.polygon([(x0, y1), (x1, y1), ((x0 + x1) / 2, y0)], fill=color)
+    elif shape == "bar":
+        h = y1 - y0
+        draw.rectangle((x0, y0 + 0.35 * h, x1, y1 - 0.35 * h), fill=color)
+    else:  # ring
+        draw.ellipse(box, fill=color)
+        w, h = x1 - x0, y1 - y0
+        draw.ellipse((x0 + 0.3 * w, y0 + 0.3 * h, x1 - 0.3 * w, y1 - 0.3 * h),
+                     fill=(40, 40, 40))
+
+
+def make_dataset(out_root, n_train=10000, n_test=1000, seed=0):
+    """Write records/ (TFRecord shards) and VOCdevkit/VOC2007 (JPEG + XML +
+    ImageSets) from the same generated samples."""
+    from PIL import Image, ImageDraw
+
+    from ron_tensorflow_tpu.data.convert import encode_voc_example
+    from ron_tensorflow_tpu.data.tfrecord import TFRecordWriter
+    from ron_tensorflow_tpu.data.voc import VOC_CLASSES, VocAnnotation, VocObject
+
+    rng = np.random.default_rng(seed)
+    rec_dir = os.path.join(out_root, "records")
+    voc_dir = os.path.join(out_root, "VOCdevkit", "VOC2007")
+    os.makedirs(rec_dir, exist_ok=True)
+    for sub in ("JPEGImages", "Annotations", os.path.join("ImageSets", "Main")):
+        os.makedirs(os.path.join(voc_dir, sub), exist_ok=True)
+
+    def gen_sample():
+        h = int(rng.integers(320, 500))
+        w = int(rng.integers(320, 500))
+        img = Image.fromarray(
+            rng.integers(0, 70, (h, w, 3), np.uint8) + rng.integers(0, 40)
+        )
+        draw = ImageDraw.Draw(img)
+        objects = []
+        for _ in range(1 + int(rng.integers(0, 4))):
+            cls = 1 + int(rng.integers(0, 20))
+            ow = rng.uniform(0.12, 0.5) * w
+            oh = rng.uniform(0.12, 0.5) * h
+            x0 = rng.uniform(0, w - ow)
+            y0 = rng.uniform(0, h - oh)
+            _draw_object(draw, cls, (x0, y0, x0 + ow, y0 + oh))
+            # small objects are 'difficult' (excluded from AP like VOC)
+            difficult = int(min(ow / w, oh / h) < 0.15 and rng.uniform() < 0.5)
+            objects.append(
+                VocObject(
+                    label=cls,
+                    label_text=VOC_CLASSES[cls - 1],
+                    bbox=(y0 / h, x0 / w, (y0 + oh) / h, (x0 + ow) / w),
+                    difficult=difficult,
+                    truncated=0,
+                )
+            )
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=90)
+        return buf.getvalue(), (h, w), objects
+
+    def ann_xml(hw, objects):
+        h, w = hw
+        parts = [
+            f"<annotation><size><width>{w}</width><height>{h}</height>"
+            f"<depth>3</depth></size>"
+        ]
+        for o in objects:
+            ymin, xmin, ymax, xmax = o.bbox
+            parts.append(
+                f"<object><name>{o.label_text}</name><difficult>{o.difficult}</difficult>"
+                f"<truncated>0</truncated><bndbox>"
+                f"<xmin>{xmin * w:.1f}</xmin><ymin>{ymin * h:.1f}</ymin>"
+                f"<xmax>{xmax * w:.1f}</xmax><ymax>{ymax * h:.1f}</ymax>"
+                f"</bndbox></object>"
+            )
+        parts.append("</annotation>")
+        return "".join(parts)
+
+    per_shard = 2000
+    t0 = time.time()
+    test_ids = []
+    for split, n in (("train", n_train), ("test", n_test)):
+        writer, wi = None, -1
+        for i in range(n):
+            if i // per_shard != wi:
+                if writer:
+                    writer.close()
+                wi = i // per_shard
+                writer = TFRecordWriter(
+                    os.path.join(rec_dir, f"synth_{split}_{wi:03d}.tfrecord")
+                )
+            jpeg, hw, objects = gen_sample()
+            ann = VocAnnotation((hw[0], hw[1], 3), objects)
+            writer.write(encode_voc_example(jpeg, ann))
+            if split == "test":
+                image_id = f"{i:06d}"
+                test_ids.append(image_id)
+                with open(os.path.join(voc_dir, "JPEGImages", image_id + ".jpg"), "wb") as f:
+                    f.write(jpeg)
+                with open(os.path.join(voc_dir, "Annotations", image_id + ".xml"), "w") as f:
+                    f.write(ann_xml(hw, objects))
+        if writer:
+            writer.close()
+        print(f"[data] {split}: {n} samples ({time.time() - t0:.0f}s)")
+    with open(os.path.join(voc_dir, "ImageSets", "Main", "test.txt"), "w") as f:
+        f.write("\n".join(test_ids) + "\n")
+    return rec_dir, os.path.join(out_root, "VOCdevkit")
+
+
+def make_torch_vgg_checkpoint(path, seed=0):
+    """Random torchvision-layout VGG16 state_dict — exercises the real
+    torch-import warm-start machinery (the reference warm-started from
+    vgg16_reducedfc, ref: README.md:28; weights here are random because the
+    environment has no pretrained artifacts)."""
+    import torch
+
+    gen = torch.Generator().manual_seed(seed)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    sd, idx, cin = {}, 0, 3
+    for v in cfg:
+        if v == "M":
+            idx += 1
+            continue
+        sd[f"features.{idx}.weight"] = (
+            torch.randn((v, cin, 3, 3), generator=gen) * (2.0 / (9 * cin)) ** 0.5
+        )
+        sd[f"features.{idx}.bias"] = torch.zeros((v,))
+        cin = v
+        idx += 2
+    torch.save(sd, path)
+    return path
+
+
+def main():
+    from dataclasses import replace
+
+    import jax
+
+    from ron_tensorflow_tpu.config import TrainConfig, apply_overrides
+    from ron_tensorflow_tpu.data.pipeline import PipelineConfig, PrefetchIterator, batch_iterator
+    from ron_tensorflow_tpu.data.preprocess import whiten
+    from ron_tensorflow_tpu.eval import StreamingEvaluator
+    from ron_tensorflow_tpu.eval.realtime import RealtimeEvaluator
+    from ron_tensorflow_tpu.inference.detector import DetectionConfig, RealtimeConfig
+    from ron_tensorflow_tpu.models import get_network
+    from ron_tensorflow_tpu.train.trainer import Trainer
+
+    model_name = os.environ.get("DR_MODEL", "ron_320_vgg")
+    steps = int(os.environ.get("DR_STEPS", "20000"))
+    batch = int(os.environ.get("DR_BATCH", "14"))
+    n_train = int(os.environ.get("DR_TRAIN", "10000"))
+    n_test = int(os.environ.get("DR_TEST", "1000"))
+    work = sys.argv[1] if len(sys.argv) > 1 else f"/tmp/dress_{model_name}"
+    os.makedirs(work, exist_ok=True)
+
+    rec_dir = os.path.join(work, "records")
+    if not os.path.exists(os.path.join(rec_dir, "synth_train_000.tfrecord")):
+        make_dataset(work, n_train, n_test)
+    voc_root = os.path.join(work, "VOCdevkit")
+
+    model, spec = get_network(model_name)
+    if not os.environ.get("DR_SKIP_TRAIN"):
+        ckpt = os.path.join(work, "vgg16_torch_init.pth")
+        if not os.path.exists(ckpt):
+            make_torch_vgg_checkpoint(ckpt)
+        cfg = apply_overrides(
+            TrainConfig(),
+            [
+                f"model={model_name}",
+                f"model_dir={work}/model",
+                f"data.dataset_dir={rec_dir}",
+                "data.file_pattern=synth_train_*.tfrecord",
+                f"data.batch_size={batch}",
+                "data.max_boxes=8",
+                "data.cache_decoded=true",
+                f"max_steps={steps}",
+                "log_every_steps=100",
+                "save_every_steps=5000",
+                # the published recipe shape (ref: ron_net.py:95-105,152-155)
+                "optimizer.learning_rate=0.001",
+                "optimizer.momentum=0.9",
+                "optimizer.learning_rate_decay_type=piecewise",
+                f"optimizer.lr_boundaries=[{int(steps * 0.75)}, {int(steps * 0.958)}]",
+                "optimizer.lr_factors=[1.0, 0.1, 0.001]",
+                "optimizer.warmup_steps=500",  # from-scratch heads need it
+                "optimizer.clip_global_norm=50.0",
+                "match.positive_threshold=0.56",
+                f"checkpoint_path={ckpt}",
+                "checkpoint_format=torch",
+                "mesh_shape=[1, 1]",
+                "bfloat16=true",
+            ],
+        )
+        cfg = replace(cfg, data=replace(cfg.data, working_shape=(400, 400)))
+        t0 = time.time()
+        Trainer(cfg).train()
+        print(f"[train] {steps} steps in {(time.time() - t0) / 60:.1f} min")
+
+    # ---- streaming eval (eval-resize parity path) ----
+    infer_model = model.clone(dtype=jax.numpy.bfloat16)
+    from ron_tensorflow_tpu.train.checkpoint import CheckpointManager
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jax.numpy.zeros((1, *spec.img_shape, 3)), train=False)
+    )
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    variables, step = CheckpointManager(os.path.join(work, "model")).restore_eval(
+        zeros["params"], zeros.get("batch_stats", {})
+    )
+    print(f"[eval] restored step {step}")
+
+    ev = StreamingEvaluator(
+        infer_model, spec,
+        DetectionConfig(select_threshold=0.01, objectness_threshold=0.03,
+                        top_k=200, keep_top_k=100, shared_top_k=1000),
+    )
+    pcfg = PipelineConfig(batch_size=8, working_shape=spec.img_shape,
+                          max_boxes=8, shuffle=False, keep_difficult=True,
+                          eval_resize="WARP_RESIZE")
+    test_files = sorted(
+        os.path.join(rec_dir, f) for f in os.listdir(rec_dir) if "test" in f
+    )
+
+    def eval_batches():
+        for hb in PrefetchIterator(
+            batch_iterator(test_files, pcfg, epochs=1, drop_remainder=False)
+        ):
+            yield {
+                "image": np.asarray(whiten(hb["image01"].astype(np.float32) / 255.0))
+                if hb["image01"].dtype == np.uint8
+                else np.asarray(whiten(hb["image01"])),
+                "gt_labels": hb["gt_labels"],
+                "gt_boxes": hb["gt_boxes"],
+                "gt_difficult": hb["gt_difficult"],
+                "sample_valid": hb["sample_valid"],
+            }
+
+    t0 = time.time()
+    map07_s, map12_s, aps_s, stats = ev.run(variables, eval_batches(), log_every=0)
+    print(f"[streaming] mAP07 {map07_s:.4f}  mAP12 {map12_s:.4f}  "
+          f"({stats['sec_per_image'] * 1e3:.1f} ms/img)")
+
+    # ---- realtime eval (official VOCdevkit protocol) ----
+    rt = RealtimeEvaluator(
+        infer_model, spec,
+        RealtimeConfig(
+            objectness_threshold=float(os.environ.get("DR_OBJ_THRESH", "0.95"))
+        ),
+    )
+    t0 = time.time()
+    map_rt, aps_rt = rt.evaluate_voc(variables, voc_root, "test",
+                                     output_dir=os.path.join(work, "rt_out"))
+    rt_time = time.time() - t0
+    print(f"[realtime] mAP07 {map_rt:.4f}  ({rt_time / n_test * 1e3:.1f} ms/img)")
+
+    delta = abs(map07_s - map_rt)
+    result = {
+        "model": model_name, "steps": step, "map07_streaming": round(map07_s, 4),
+        "map12_streaming": round(map12_s, 4), "map07_realtime": round(map_rt, 4),
+        "delta": round(delta, 4),
+        "streaming_ms_per_img": round(stats["sec_per_image"] * 1e3, 2),
+        "realtime_ms_per_img": round(rt_time / n_test * 1e3, 2),
+    }
+    with open(os.path.join(work, "result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    ok = map07_s >= 0.5 and delta <= 0.06
+    print("DRESS REHEARSAL:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
