@@ -28,6 +28,15 @@ import jax
 import numpy as np
 
 
+def _np_restore_args(item):
+    """RestoreArgs tree requesting plain numpy for every leaf — reads the
+    full assembled array regardless of how the checkpoint was sharded at
+    save time."""
+    import orbax.checkpoint as ocp
+
+    return jax.tree.map(lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item)
+
+
 def flatten_params(params) -> Dict[str, Any]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
@@ -80,12 +89,25 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
 
     def restore(self, state_like, step: Optional[int] = None):
+        """Restore the full state as host numpy arrays.
+
+        Checkpoints may have been written from sharded (even non-fully-
+        addressable) jax.Arrays by a multi-process TP run — restoring with
+        explicit numpy RestoreArgs reads the assembled full arrays without
+        needing a device sharding (StandardRestore would demand one)."""
         import orbax.checkpoint as ocp
 
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self._dir}")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+        path = os.path.join(self._dir, str(step), "default")
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        return ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=state_like, restore_args=_np_restore_args(state_like)
+            ),
+        )
 
     def restore_eval(
         self,
@@ -111,7 +133,12 @@ class CheckpointManager:
 
         def attempt(item):
             return ckptr.restore(
-                path, args=ocp.args.PyTreeRestore(item=item, partial_restore=True)
+                path,
+                args=ocp.args.PyTreeRestore(
+                    item=item,
+                    restore_args=_np_restore_args(item),
+                    partial_restore=True,
+                ),
             )
 
         base = {"params": params_like, "batch_stats": batch_stats_like}

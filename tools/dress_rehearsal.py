@@ -76,7 +76,7 @@ def make_dataset(out_root, n_train=10000, n_test=1000, seed=0):
         h = int(rng.integers(320, 500))
         w = int(rng.integers(320, 500))
         img = Image.fromarray(
-            rng.integers(0, 70, (h, w, 3), np.uint8) + rng.integers(0, 40)
+            (rng.integers(0, 70, (h, w, 3)) + rng.integers(0, 40)).astype(np.uint8)
         )
         draw = ImageDraw.Draw(img)
         objects = []
