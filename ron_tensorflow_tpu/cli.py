@@ -93,7 +93,7 @@ def cmd_eval(args):
 
     from .config import EvalConfig, load_config
     from .data.pipeline import PipelineConfig, PrefetchIterator, batch_iterator
-    from .data.preprocess import whiten
+    from .data.preprocess import whiten_np
     from .data.tfrecord import list_shards
     from .eval import StreamingEvaluator
     from .inference.detector import DetectionConfig
@@ -132,7 +132,7 @@ def cmd_eval(args):
             batch_iterator(files, pcfg, epochs=1, drop_remainder=False)
         ):
             yield {
-                "image": np.asarray(whiten(hb["image01"])),
+                "image": whiten_np(hb["image01"]),
                 "gt_labels": hb["gt_labels"],
                 "gt_boxes": hb["gt_boxes"],
                 "gt_difficult": hb["gt_difficult"],

@@ -308,3 +308,45 @@ class PrefetchIterator:
                 raise self._err
             raise StopIteration
         return item
+
+
+class DevicePrefetcher:
+    """Device-placement prefetch: a background thread applies `place`
+    (host batch -> device arrays, e.g. jax.device_put with shardings) one
+    batch ahead, so the host->device transfer of batch N+1 overlaps the
+    device compute of batch N. On hosts where the accelerator link is the
+    bottleneck this pipelines transfer against compute instead of
+    serializing them in the train loop.
+
+    The reference's analogue is the staging of `tf.train.batch` queues onto
+    the GPU (ref: ron_net.py:296-308); XLA-side we keep it explicit."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterator: Iterator, place, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._fill, args=(iterator, place), daemon=True
+        )
+        self._thread.start()
+
+    def _fill(self, iterator, place):
+        try:
+            for item in iterator:
+                self._q.put(place(item))
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -57,6 +57,15 @@ def unwhiten(image: jnp.ndarray) -> jnp.ndarray:
     return (image + means) / 255.0
 
 
+def whiten_np(image01):
+    """Host (numpy) version of `whiten` for input-pipeline code — eager jnp
+    ops on host arrays dispatch through the accelerator link per op, which
+    is slow and wasteful when the result is consumed on host anyway."""
+    import numpy as np
+
+    return image01.astype(np.float32) * 255.0 - np.asarray(VGG_MEANS, np.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class PreprocessConfig:
     # 'ron': expand + min-IoU patch sampling (ron_preprocess_for_train,

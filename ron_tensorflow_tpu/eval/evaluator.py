@@ -80,6 +80,11 @@ class StreamingEvaluator:
                 return {k: v for k, v in metrics.items() if k.startswith("loss/")}
 
             self._loss_jit = jax.jit(loss_step)
+        from ..data.preprocess import whiten
+
+        self._whiten_jit = jax.jit(
+            lambda u8: whiten(u8.astype(jnp.float32) / 255.0)
+        )
 
     def run(
         self,
@@ -106,6 +111,11 @@ class StreamingEvaluator:
                 variables,
                 jax.tree.map(lambda _: NamedSharding(self.mesh, P()), variables),
             )
+        else:
+            # Checkpoints restore as host numpy; without this one-time
+            # placement every jitted call re-uploads the full param tree
+            # (~100s of MB — hundreds of ms per batch on a PCIe/tunnel link).
+            variables = jax.device_put(variables)
         for bi, batch in enumerate(batches):
             if max_batches is not None and bi >= max_batches:
                 break
@@ -120,6 +130,11 @@ class StreamingEvaluator:
                 gt_difficult = jax.device_put(
                     jnp.asarray(gt_difficult), batch_sharding
                 )
+            if image.dtype == np.uint8:
+                # uint8 transport: callers may ship raw 0..255 pixels (4x
+                # less host->device traffic); scale + VGG-whiten on device
+                # (sharding, if any, is preserved — elementwise op).
+                image = self._whiten_jit(image)
             if self._loss_jit is not None:
                 # Shared forward: one model.apply feeds both the detection
                 # postprocess and the loss (ref: eval_ron_network.py:208-236

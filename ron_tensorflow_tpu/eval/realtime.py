@@ -26,8 +26,16 @@ from .voc_eval import PascalVocEvaluator
 
 class RealtimeEvaluator:
     def __init__(self, model, spec, config: RealtimeConfig = RealtimeConfig()):
+        import jax
+
         self.detector = RealtimeDetector(model, spec, config)
         self.spec = spec
+        # One fused dispatch per batch: whiten on device inside the same XLA
+        # program as the detector (host-side eager whiten costs several
+        # dispatches through the accelerator link per batch).
+        self._detect01 = jax.jit(
+            lambda v, x01, ms: self.detector(v, whiten(x01), ms)
+        )
 
     def detect_image(self, variables, image01: np.ndarray, orig_shape=None):
         """One decoded [H,W,3] float[0,1] image -> per-class pixel boxes.
@@ -82,8 +90,8 @@ class RealtimeEvaluator:
             ],
             np.float32,
         )
-        scores, labels, boxes, valid = self.detector(
-            variables, whiten(jnp.asarray(images01)), jnp.asarray(min_sizes)
+        scores, labels, boxes, valid = self._detect01(
+            variables, jnp.asarray(images01), jnp.asarray(min_sizes)
         )
         scores, labels = np.asarray(scores), np.asarray(labels)
         boxes, valid = np.asarray(boxes), np.asarray(valid)
@@ -111,6 +119,13 @@ class RealtimeEvaluator:
         images at a time — the reference decoded and ran strictly one image
         per sess.run (ref: ron_eval.py:537-539)."""
         from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        # One-time device placement: checkpoints restore as host numpy, and
+        # a numpy param tree passed to a jitted call re-uploads ~100s of MB
+        # every batch (the dominant cost on a PCIe/tunnel link).
+        variables = jax.device_put(variables)
 
         evaluator = PascalVocEvaluator(voc_root, set_type, output_dir)
         image_ids = evaluator.image_ids

@@ -279,12 +279,7 @@ class Trainer:
             with open(input_state_path) as f:
                 it.restore_state_json(f.read())
             print("[trainer] input pipeline position restored")
-        while step < max_steps:
-            try:
-                host_batch = next(it)
-            except StopIteration:
-                print("[trainer] input exhausted")
-                break
+        def place(host_batch):
             batch = {
                 "image01": host_batch["image01"],
                 "gt_boxes": host_batch["gt_boxes"],
@@ -296,10 +291,28 @@ class Trainer:
                 # (data.batch_size is the LOCAL batch in multi-process runs)
                 from ..parallel import host_local_to_global
 
-                batch = host_local_to_global(batch, mesh)
-            else:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                batch = jax.device_put(batch, partition_batch(batch, mesh))
+                return host_local_to_global(batch, mesh)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            return jax.device_put(batch, partition_batch(batch, mesh))
+
+        if n_proc == 1 and not hasattr(it, "state_json"):
+            # Upload one batch ahead on a background thread so the
+            # host->device transfer overlaps the device step. Skipped for
+            # checkpointable (grain) inputs — read-ahead would desync the
+            # saved input position from the consumed position — and for
+            # multi-process runs, where placement is collective.
+            from ..data.pipeline import DevicePrefetcher
+
+            it = DevicePrefetcher(it, place)
+            place = lambda b: b  # already placed
+
+        while step < max_steps:
+            try:
+                host_batch = next(it)
+            except StopIteration:
+                print("[trainer] input exhausted")
+                break
+            batch = place(host_batch)
             rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step)
             state, metrics = step_fn(state, batch, rng)
             timer.tick()

@@ -23,7 +23,7 @@ def main():
     )
 
     from ron_tensorflow_tpu.data.pipeline import PipelineConfig, batch_iterator
-    from ron_tensorflow_tpu.data.preprocess import whiten
+    from ron_tensorflow_tpu.data.preprocess import whiten_np
     from ron_tensorflow_tpu.eval import StreamingEvaluator
     from ron_tensorflow_tpu.inference.detector import DetectionConfig
     from ron_tensorflow_tpu.models import get_network
@@ -51,7 +51,7 @@ def main():
     def eval_batches():
         for hb in batch_iterator(test_files, pcfg, epochs=1, drop_remainder=False):
             yield {
-                "image": np.asarray(whiten(hb["image01"])),
+                "image": whiten_np(hb["image01"]),
                 "gt_labels": hb["gt_labels"],
                 "gt_boxes": hb["gt_boxes"],
                 "gt_difficult": hb["gt_difficult"],
@@ -59,23 +59,38 @@ def main():
             }
 
     base = DetectionConfig(select_threshold=0.05, objectness_threshold=0.03)
+    # Speed knobs (must be mAP-lossless) x NMS mode/threshold points (these
+    # CHANGE semantics — reported for the record, not asserted equal).
     variants = {
         "exact reference (no knobs)": replace(
             base, shared_top_k=0, approx_top_k=False, nms_method="loop"
         ),
         "approx_top_k only": replace(base, shared_top_k=0, nms_method="loop"),
-        "shipping defaults": base,
+        "presel shared_top_k=1000": replace(base, shared_top_k=1000),
+        "presel + pallas NMS": replace(base, shared_top_k=1000, nms_method="pallas"),
         "pallas NMS": replace(base, nms_method="pallas"),
         "fixpoint NMS": replace(base, nms_method="fixpoint"),
+        "nms mode=union (semantic)": replace(base, nms_mode="union"),
+        "nms thresh=0.45 (semantic)": replace(base, nms_threshold=0.45),
+        "nms thresh=0.30 (semantic)": replace(base, nms_threshold=0.30),
     }
+    results = {}
     for name, cfg in variants.items():
         ev = StreamingEvaluator(model, spec, cfg)
         map07, map12, aps, stats = ev.run(variables, eval_batches(), log_every=0)
-        used = [v for c, v in aps.items() if c <= 6 and v >= 0]
+        present = [v for v in aps.values() if v >= 0]
+        results[name] = map07
         print(
-            f"{name:28s}: mAP07(classes 1-6) {np.mean(used):.4f}  "
-            f"all-class mAP07 {map07:.4f}  mAP12 {map12:.4f}"
+            f"{name:28s}: mAP07 {map07:.4f}  mAP12 {map12:.4f}  "
+            f"mean-present-AP07 {np.mean(present):.4f}"
         )
+    exact = results["exact reference (no knobs)"]
+    lossless = [n for n in results if "semantic" not in n]
+    bad = {n: results[n] for n in lossless if abs(results[n] - exact) > 1e-6}
+    if bad:
+        print(f"LOSSLESS-KNOB MISMATCH vs exact ({exact:.4f}): {bad}")
+    else:
+        print(f"all speed knobs lossless (mAP07 {exact:.4f})")
 
 
 if __name__ == "__main__":

@@ -183,7 +183,7 @@ def main():
 
     from ron_tensorflow_tpu.config import TrainConfig, apply_overrides
     from ron_tensorflow_tpu.data.pipeline import PipelineConfig, PrefetchIterator, batch_iterator
-    from ron_tensorflow_tpu.data.preprocess import whiten
+    from ron_tensorflow_tpu.data.preprocess import whiten_np
     from ron_tensorflow_tpu.eval import StreamingEvaluator
     from ron_tensorflow_tpu.eval.realtime import RealtimeEvaluator
     from ron_tensorflow_tpu.inference.detector import DetectionConfig, RealtimeConfig
@@ -208,6 +208,12 @@ def main():
         ckpt = os.path.join(work, "vgg16_torch_init.pth")
         if not os.path.exists(ckpt):
             make_torch_vgg_checkpoint(ckpt)
+        # From-scratch SSD (plain VGG, no BN) needs a hotter LR and longer
+        # warmup than RON, whose BN makes it forgiving (see NOTES.md round-2
+        # SSD e2e findings: lr 3e-3 / warmup 1000 / clip 50).
+        is_ssd = model_name.startswith("ssd")
+        lr = 0.003 if is_ssd else 0.001
+        warmup = 1000 if is_ssd else 500
         cfg = apply_overrides(
             TrainConfig(),
             [
@@ -222,12 +228,12 @@ def main():
                 "log_every_steps=100",
                 "save_every_steps=5000",
                 # the published recipe shape (ref: ron_net.py:95-105,152-155)
-                "optimizer.learning_rate=0.001",
+                f"optimizer.learning_rate={lr}",
                 "optimizer.momentum=0.9",
                 "optimizer.learning_rate_decay_type=piecewise",
                 f"optimizer.lr_boundaries=[{int(steps * 0.75)}, {int(steps * 0.958)}]",
                 "optimizer.lr_factors=[1.0, 0.1, 0.001]",
-                "optimizer.warmup_steps=500",  # from-scratch heads need it
+                f"optimizer.warmup_steps={warmup}",  # from-scratch heads need it
                 "optimizer.clip_global_norm=50.0",
                 "match.positive_threshold=0.56",
                 f"checkpoint_path={ckpt}",
@@ -236,7 +242,10 @@ def main():
                 "bfloat16=true",
             ],
         )
-        cfg = replace(cfg, data=replace(cfg.data, working_shape=(400, 400)))
+        # working canvas comfortably above the model input so crops don't
+        # upsample (520 for ssd_512, 400 otherwise — ron/ssd_300 are <=320)
+        canvas = 520 if spec.img_shape[0] > 400 else 400
+        cfg = replace(cfg, data=replace(cfg.data, working_shape=(canvas, canvas)))
         t0 = time.time()
         Trainer(cfg).train()
         print(f"[train] {steps} steps in {(time.time() - t0) / 60:.1f} min")
@@ -272,9 +281,11 @@ def main():
             batch_iterator(test_files, pcfg, epochs=1, drop_remainder=False)
         ):
             yield {
-                "image": np.asarray(whiten(hb["image01"].astype(np.float32) / 255.0))
-                if hb["image01"].dtype == np.uint8
-                else np.asarray(whiten(hb["image01"])),
+                "image": whiten_np(
+                    hb["image01"].astype(np.float32) / 255.0
+                    if hb["image01"].dtype == np.uint8
+                    else hb["image01"]
+                ),
                 "gt_labels": hb["gt_labels"],
                 "gt_boxes": hb["gt_boxes"],
                 "gt_difficult": hb["gt_difficult"],

@@ -70,7 +70,7 @@ def main():
 
     from ron_tensorflow_tpu.config import TrainConfig, apply_overrides
     from ron_tensorflow_tpu.data.pipeline import PipelineConfig, batch_iterator
-    from ron_tensorflow_tpu.data.preprocess import whiten
+    from ron_tensorflow_tpu.data.preprocess import whiten_np
     from ron_tensorflow_tpu.eval import StreamingEvaluator
     from ron_tensorflow_tpu.inference.detector import DetectionConfig
     from ron_tensorflow_tpu.models import get_network
@@ -131,7 +131,7 @@ def main():
     def eval_batches():
         for hb in batch_iterator(test_files, pcfg, epochs=1, drop_remainder=False):
             yield {
-                "image": np.asarray(whiten(hb["image01"])),
+                "image": whiten_np(hb["image01"]),
                 "gt_labels": hb["gt_labels"],
                 "gt_boxes": hb["gt_boxes"],
                 "gt_difficult": hb["gt_difficult"],
