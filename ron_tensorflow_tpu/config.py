@@ -62,6 +62,12 @@ class TrainConfig:
     # 'ron' / 'ssd' force one.
     augment_variant: str = "auto"
     bfloat16: bool = True
+    # Train-time BatchNorm fast path: keep f32 statistics but run the
+    # normalize as a fused scale/shift in the activation dtype (bf16) —
+    # avoids materializing f32 copies of conv outputs. Only meaningful with
+    # bfloat16=true; deviation from f32 normalize is bf16-level noise
+    # (see models/layers.py set_bn_fast_normalize).
+    bn_fast_normalize: bool = False
     log_every_steps: int = 10  # ref: log_every_n_steps
     save_every_steps: int = 2000
     save_interval_secs: float = 7200.0  # ref: ron_net.py:415

@@ -23,6 +23,19 @@ Dtype = Any
 BN_MOMENTUM = 0.997  # ref: nets/ron_vgg_320.py:618 (decay)
 BN_EPSILON = 1e-5  # ref: nets/ron_vgg_320.py:619
 
+# Train-time BN fast path: statistics (mean/var/running stats) stay f32, but
+# the normalize itself runs as a fused scale/shift in the activation dtype.
+# With bf16 activations this avoids materializing an f32 copy of every
+# conv output (the f32 cast is fused into the mean/var reductions instead),
+# halving the BN's HBM traffic in both fwd and bwd. Off by default — flip
+# with `set_bn_fast_normalize(True)` (used by TrainConfig.bn_fast_normalize).
+_BN_FAST_NORMALIZE = False
+
+
+def set_bn_fast_normalize(enabled: bool) -> None:
+    global _BN_FAST_NORMALIZE
+    _BN_FAST_NORMALIZE = bool(enabled)
+
 
 class BatchNorm(nn.Module):
     """float32 BatchNorm wrapper (stats and affine in f32, cast back).
@@ -76,6 +89,13 @@ class BatchNorm(nn.Module):
         var = jnp.maximum(mean2 - mean * mean, 0.0)
         ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
         ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        if _BN_FAST_NORMALIZE and orig_dtype != jnp.float32:
+            # Fused scale/shift in the activation dtype (stats above remain
+            # f32 — the x32 cast fuses into the reductions, so no f32 copy
+            # of the activations ever reaches HBM).
+            s = scale / jnp.sqrt(var + self.epsilon)
+            b = bias - mean * s
+            return x * s.astype(orig_dtype) + b.astype(orig_dtype)
         y = (x32 - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
         return y.astype(orig_dtype)
 

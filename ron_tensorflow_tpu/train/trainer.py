@@ -62,6 +62,10 @@ class Trainer:
         self.model, self.spec = get_network(config.model)
         if config.bfloat16:
             self.model = self.model.clone(dtype=jnp.bfloat16)
+        if config.bn_fast_normalize:
+            from ..models.layers import set_bn_fast_normalize
+
+            set_bn_fast_normalize(True)
         self.encoder = TargetEncoder(
             self.spec.anchor_layout(),
             self.spec.img_shape,

@@ -125,3 +125,43 @@ def test_sharded_train_step_cpu_mesh(mesh_shape):
     if mesh_shape[1] > 1:
         fc7 = new_state.params["backbone"]["fc7"]["conv"]["kernel"]
         assert fc7.sharding.spec == P(None, None, None, "model")
+
+
+def test_bn_fast_normalize_matches_f32_path():
+    """bn_fast keeps f32 statistics; outputs deviate only at bf16 noise
+    level (see models/layers.py set_bn_fast_normalize)."""
+    from ron_tensorflow_tpu.models import layers
+
+    spec = RON_TINY_SPEC
+    model = RON(spec=spec, dtype=jnp.bfloat16)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, *spec.img_shape, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def fwd():
+        return model.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+
+    try:
+        layers.set_bn_fast_normalize(False)
+        out_f32, _ = fwd()
+        layers.set_bn_fast_normalize(True)
+        out_fast, _ = fwd()
+    finally:
+        layers.set_bn_fast_normalize(False)
+
+    d = float(jnp.max(jnp.abs(out_f32.predictions - out_fast.predictions)))
+    assert d < 0.05, f"bn_fast drifted beyond bf16 noise: {d}"
+    # f32 activations: flag must be a no-op (identical program)
+    model32 = RON(spec=spec)
+    v32 = model32.init(jax.random.PRNGKey(0), x, train=False)
+    try:
+        layers.set_bn_fast_normalize(True)
+        a, _ = model32.apply(v32, x, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+    finally:
+        layers.set_bn_fast_normalize(False)
+    b, _ = model32.apply(v32, x, train=True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+    assert jnp.array_equal(a.logits, b.logits)

@@ -46,17 +46,25 @@ def main():
 
     test_files = [os.path.join(work, "records", "synth_test_000.tfrecord")]
     pcfg = PipelineConfig(batch_size=8, working_shape=spec.img_shape, max_boxes=8,
-                          shuffle=False, keep_difficult=True)
+                          shuffle=False, keep_difficult=True,
+                          output_dtype="uint8")
+
+    # Materialize the eval set once (uint8 — whitening runs on device inside
+    # the evaluator): the host-side decode+resize is the slow part on this
+    # 1-core host, and it is identical across all 9 variants.
+    cached = [
+        {
+            "image": hb["image01"],
+            "gt_labels": hb["gt_labels"],
+            "gt_boxes": hb["gt_boxes"],
+            "gt_difficult": hb["gt_difficult"],
+            "sample_valid": hb["sample_valid"],
+        }
+        for hb in batch_iterator(test_files, pcfg, epochs=1, drop_remainder=False)
+    ]
 
     def eval_batches():
-        for hb in batch_iterator(test_files, pcfg, epochs=1, drop_remainder=False):
-            yield {
-                "image": whiten_np(hb["image01"]),
-                "gt_labels": hb["gt_labels"],
-                "gt_boxes": hb["gt_boxes"],
-                "gt_difficult": hb["gt_difficult"],
-                "sample_valid": hb["sample_valid"],
-            }
+        return iter(cached)
 
     base = DetectionConfig(select_threshold=0.05, objectness_threshold=0.03)
     # Speed knobs (must be mAP-lossless) x NMS mode/threshold points (these
