@@ -102,6 +102,9 @@ def caffe_vgg_to_flat(
     blobs (single blob, 1-D) become L2Normalization gammas.
     """
     flat: Dict[str, np.ndarray] = {}
+    # SSD trees keep the VGG convs at top level — backbone_prefix='' emits
+    # unprefixed keys.
+    pfx = f"{backbone_prefix}/" if backbone_prefix else ""
     first_conv_seen = False
     for name, (_, blobs) in layers.items():
         target = (name_map or {}).get(name, name)
@@ -110,9 +113,9 @@ def caffe_vgg_to_flat(
             if bgr_to_rgb and not first_conv_seen:
                 w = w[:, :, ::-1, :]
             first_conv_seen = True
-            flat[f"{backbone_prefix}/{target}/conv/kernel"] = w.astype(np.float32)
+            flat[f"{pfx}{target}/conv/kernel"] = w.astype(np.float32)
             if len(blobs) > 1:
-                flat[f"{backbone_prefix}/{target}/conv/bias"] = blobs[1].reshape(-1).astype(
+                flat[f"{pfx}{target}/conv/bias"] = blobs[1].reshape(-1).astype(
                     np.float32
                 )
         elif len(blobs) == 1 and blobs[0].ndim <= 2:

@@ -256,12 +256,16 @@ def torch_vgg_to_flat(
 
     flat: Dict[str, np.ndarray] = {}
 
+    # SSD trees keep the VGG convs at top level (no 'backbone' scope) —
+    # backbone_prefix='' emits unprefixed keys.
+    pfx = f"{backbone_prefix}/" if backbone_prefix else ""
+
     def put_conv(our_name: str, w: np.ndarray, b: np.ndarray, flip_input=False):
         w = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
         if flip_input:
             w = w[:, :, ::-1, :]
-        flat[f"{backbone_prefix}/{our_name}/conv/kernel"] = w
-        flat[f"{backbone_prefix}/{our_name}/conv/bias"] = b
+        flat[f"{pfx}{our_name}/conv/kernel"] = w
+        flat[f"{pfx}{our_name}/conv/bias"] = b
 
     for i, (idx, name) in enumerate(zip(_TORCH_VGG16_CONV_IDS, _OUR_VGG16_CONV_NAMES)):
         wk, bk = f"{prefix}{idx}.weight", f"{prefix}{idx}.bias"

@@ -205,6 +205,9 @@ def slim_vgg_to_flat(
     Weights are already HWIO in TF — no transpose needed.
     """
     flat: Dict[str, np.ndarray] = {}
+    # SSD trees keep the VGG convs at top level — backbone_prefix='' emits
+    # unprefixed keys.
+    pfx = f"{backbone_prefix}/" if backbone_prefix else ""
     for name, arr in tensors.items():
         parts = name.split("/")
         if parts and parts[0] == source_scope:
@@ -215,13 +218,13 @@ def slim_vgg_to_flat(
         ):
             conv_name = parts[1]
             kind = "kernel" if parts[-1] == "weights" else "bias"
-            flat[f"{backbone_prefix}/{conv_name}/conv/{kind}"] = arr
+            flat[f"{pfx}{conv_name}/conv/{kind}"] = arr
         elif len(parts) == 2 and parts[0].startswith("fc") and parts[-1] in (
             "weights",
             "biases",
         ):
             kind = "kernel" if parts[-1] == "weights" else "bias"
-            flat[f"{backbone_prefix}/{parts[0]}/conv/{kind}"] = arr
+            flat[f"{pfx}{parts[0]}/conv/{kind}"] = arr
     return flat
 
 

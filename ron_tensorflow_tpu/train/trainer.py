@@ -147,9 +147,17 @@ class Trainer:
 
     def _warm_start(self, params):
         cfg = self.config
+        # RON trees scope the VGG under 'backbone/'; SSD trees keep the VGG
+        # convs at top level (slim-rule naming parity) — aim the importers
+        # at whichever this model uses.
+        backbone_prefix = "backbone" if "backbone" in params else ""
         if cfg.checkpoint_format == "torch":
             sd = load_torch_checkpoint(cfg.checkpoint_path)
-            flat = torch_vgg_to_flat(sd, bgr_to_rgb=cfg.checkpoint_bgr_to_rgb)
+            flat = torch_vgg_to_flat(
+                sd,
+                backbone_prefix=backbone_prefix,
+                bgr_to_rgb=cfg.checkpoint_bgr_to_rgb,
+            )
         elif cfg.checkpoint_format == "tf":
             from .tf_checkpoint import TFCheckpointReader, slim_vgg_to_flat
 
@@ -157,12 +165,14 @@ class Trainer:
             flat = slim_vgg_to_flat(
                 reader.load_all(),
                 source_scope=cfg.checkpoint_model_scope or "vgg_16",
+                backbone_prefix=backbone_prefix,
             )
         elif cfg.checkpoint_format == "caffe":
             from .caffe_import import caffe_vgg_to_flat, parse_caffemodel
 
             flat = caffe_vgg_to_flat(
                 parse_caffemodel(cfg.checkpoint_path),
+                backbone_prefix=backbone_prefix,
                 bgr_to_rgb=cfg.checkpoint_bgr_to_rgb,
             )
         else:

@@ -85,6 +85,69 @@ def test_torch_vgg_mapping():
     assert flat["backbone/conv1_2/conv/kernel"].shape == (3, 3, 64, 64)
 
 
+def test_torch_vgg_mapping_unprefixed_for_ssd_trees():
+    """SSD trees keep VGG convs at top level (no 'backbone' scope) — the
+    importers must emit unprefixed keys so warm start actually restores
+    (regression: SSD warm start restored 0 tensors)."""
+    rng = np.random.default_rng(0)
+    sd = {
+        "features.0.weight": rng.normal(size=(64, 3, 3, 3)).astype(np.float32),
+        "features.0.bias": np.zeros(64, np.float32),
+    }
+    flat = torch_vgg_to_flat(sd, backbone_prefix="")
+    assert set(flat) == {"conv1_1/conv/kernel", "conv1_1/conv/bias"}
+    # and they overlay onto an SSD-shaped tree
+    ssd_like = {
+        "conv1_1": {"conv": {"kernel": np.zeros((3, 3, 3, 64), np.float32),
+                             "bias": np.zeros((64,), np.float32)}},
+        "block8": {"conv1x1": {"conv": {"kernel": np.zeros((1, 1, 64, 4), np.float32)}}},
+    }
+    out = warm_start_params(ssd_like, flat, verbose=False)
+    assert np.abs(out["conv1_1"]["conv"]["kernel"]).sum() > 0
+
+
+def test_trainer_warm_start_prefix_detection(tmp_path):
+    """Trainer._warm_start aims the torch importer at the model's actual
+    VGG scope: 'backbone' for RON trees, top level for SSD trees."""
+    import torch
+
+    from ron_tensorflow_tpu.config import TrainConfig, apply_overrides
+    from ron_tensorflow_tpu.train.trainer import Trainer
+
+    sd = {
+        "features.0.weight": torch.randn(64, 3, 3, 3),
+        "features.0.bias": torch.zeros(64),
+    }
+    ckpt = str(tmp_path / "vgg_stub.pth")
+    torch.save(sd, ckpt)
+
+    for model_name, path in (
+        ("ssd_300_vgg", ("conv1_1",)),
+        ("ron_320_vgg", ("backbone", "conv1_1")),
+    ):
+        cfg = apply_overrides(
+            TrainConfig(),
+            [f"model={model_name}", f"checkpoint_path={ckpt}",
+             "checkpoint_format=torch", f"model_dir={tmp_path}/m_{model_name}"],
+        )
+        tr = Trainer(cfg)
+        params = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype),
+            jax.eval_shape(
+                lambda tr=tr: tr.model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, *tr.spec.img_shape, 3)),
+                    train=False,
+                )
+            )["params"],
+        )
+        out = tr._warm_start(params)
+        node = out
+        for k in path:
+            node = node[k]
+        assert np.abs(np.asarray(node["conv"]["kernel"])).sum() > 0, model_name
+
+
 @pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     from ron_tensorflow_tpu.models.ron import RON
