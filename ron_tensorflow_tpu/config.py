@@ -81,6 +81,14 @@ class TrainConfig:
     checkpoint_bgr_to_rgb: bool = False
     # mesh
     mesh_shape: Optional[Tuple[int, int]] = None  # None => (n_devices, 1)
+    # Failure containment: if this process's host RSS exceeds the limit,
+    # save a checkpoint at the current step and exit with code 75
+    # (EX_TEMPFAIL) so a supervisor can restart cleanly — auto-resume picks
+    # up at the saved step. Guards long runs against host-side memory
+    # growth outside the trainer's control (e.g. per-transfer leaks in an
+    # accelerator client library) turning into a SIGKILL with up to
+    # save_every_steps of lost work. 0 = disabled.
+    max_host_rss_gb: float = 0.0
     # observability (ref: ron_net.py:331-372 summaries; ssd_vgg_preprocessing
     # :86-94 + draw_toolbox.py debug image dumps)
     tensorboard: bool = True  # events.out.tfevents.* next to metrics.jsonl

@@ -56,6 +56,16 @@ from .optimizer import make_optimizer
 from .state import TrainState, create_train_state, make_train_step
 
 
+def _host_rss_gb() -> float:
+    """This process's resident set size in GB (Linux)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 class Trainer:
     def __init__(self, config: TrainConfig):
         self.config = config
@@ -374,6 +384,26 @@ class Trainer:
                     )
                 else:
                     time_due = False
+            if (
+                cfg.max_host_rss_gb
+                and n_proc == 1
+                and _host_rss_gb() > cfg.max_host_rss_gb  # ~10us /proc read
+            ):
+                # Controlled restart point: save at THIS step and exit 75 so
+                # a supervisor restarts us; auto-resume continues from here
+                # instead of losing up to save_every_steps to a SIGKILL.
+                self._ckpt.save(step, jax.device_get(state))
+                if hasattr(it, "state_json"):
+                    with open(input_state_path, "w") as f:
+                        f.write(it.state_json())
+                self._ckpt.wait()
+                print(
+                    f"[trainer] host RSS {_host_rss_gb():.1f} GB > "
+                    f"{cfg.max_host_rss_gb} GB limit: saved step {step}, "
+                    "exiting 75 (EX_TEMPFAIL) for supervisor restart"
+                )
+                raise SystemExit(75)
+
             if step % cfg.save_every_steps == 0 or time_due or step >= max_steps:
                 # Multi-process: hand orbax the GLOBAL jax.Arrays — with
                 # TP>1 across processes the shards are not fully addressable

@@ -130,6 +130,35 @@ def test_trainer_time_based_save(tiny_train_config, tmp_path):
 
 
 @pytest.mark.slow
+def test_trainer_host_rss_guard_saves_and_exits_75(tiny_train_config, tmp_path):
+    """max_host_rss_gb: checkpoint at the current step + SystemExit(75) so a
+    supervisor restart resumes cleanly instead of losing work to a SIGKILL."""
+    from dataclasses import replace
+
+    from ron_tensorflow_tpu.train.trainer import Trainer
+
+    cfg = replace(
+        tiny_train_config,
+        model_dir=str(tmp_path / "guard"),
+        max_steps=200,
+        save_every_steps=1000,
+        max_host_rss_gb=0.001,  # any live process exceeds this immediately
+        dump_debug_images_every=0,
+        tensorboard=False,
+    )
+    t = Trainer(cfg)
+    with pytest.raises(SystemExit) as e:
+        t.train()
+    assert e.value.code == 75
+    # saved at the guard step (step 1 — any live process exceeds 1 MB)
+    assert t._ckpt.latest_step() == 1
+    # and a fresh Trainer resumes from there
+    t2 = Trainer(replace(cfg, max_host_rss_gb=0.0, max_steps=3))
+    state = t2.train()
+    assert int(state.step) == 3
+
+
+@pytest.mark.slow
 def test_trainer_float32_transport_branch(tiny_train_config, tmp_path):
     """The batches= hook feeds float01 images (the non-uint8 branch of
     full_step); make_batches covers the uint8 branch in the e2e test."""

@@ -240,6 +240,11 @@ def main():
                 "checkpoint_format=torch",
                 "mesh_shape=[1, 1]",
                 "bfloat16=true",
+                # This environment's accelerator client leaks host RSS per
+                # transfer (see NOTES.md); checkpoint + exit 75 before the
+                # OOM killer does it for us. The runner loop retries and
+                # auto-resume continues at the saved step.
+                "max_host_rss_gb=95",
             ],
         )
         # working canvas comfortably above the model input so crops don't
