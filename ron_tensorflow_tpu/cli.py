@@ -319,6 +319,16 @@ def cmd_import_ckpt(args):
     from .train.state import create_train_state
 
     model, spec = get_network(args.model)
+    tx = make_optimizer(OptimizerConfig(learning_rate_decay_type="fixed"))
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (1, *spec.img_shape, 3), tx
+        )
+    # RON trees scope the VGG under 'backbone/'; SSD trees keep the convs at
+    # top level — aim the importers at whichever this model uses.
+    backbone_prefix = "backbone" if "backbone" in state.params else ""
+
     stats_flat = {}
     if args.format == "tf":
         from .train.tf_checkpoint import (
@@ -335,27 +345,27 @@ def cmd_import_ckpt(args):
             )
         else:
             flat = slim_vgg_to_flat(
-                tensors, source_scope=args.model_scope or "vgg_16"
+                tensors,
+                source_scope=args.model_scope or "vgg_16",
+                backbone_prefix=backbone_prefix,
             )
     elif args.format == "torch":
         flat = torch_vgg_to_flat(
-            load_torch_checkpoint(args.source), bgr_to_rgb=args.bgr_to_rgb
+            load_torch_checkpoint(args.source),
+            backbone_prefix=backbone_prefix,
+            bgr_to_rgb=args.bgr_to_rgb,
         )
     elif args.format == "caffe":
         from .train.caffe_import import caffe_vgg_to_flat, parse_caffemodel
 
         flat = caffe_vgg_to_flat(
-            parse_caffemodel(args.source), bgr_to_rgb=args.bgr_to_rgb
+            parse_caffemodel(args.source),
+            backbone_prefix=backbone_prefix,
+            bgr_to_rgb=args.bgr_to_rgb,
         )
     else:
         raise ValueError(f"unknown format {args.format!r}")
 
-    tx = make_optimizer(OptimizerConfig(learning_rate_decay_type="fixed"))
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        state = create_train_state(
-            model, jax.random.PRNGKey(0), (1, *spec.img_shape, 3), tx
-        )
     params = warm_start_params(state.params, flat, exclude_scopes=())
     batch_stats = state.batch_stats
     if stats_flat:
