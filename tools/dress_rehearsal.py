@@ -18,6 +18,8 @@ Env:
   DR_TRAIN / DR_TEST  dataset sizes (default 10000 / 1000)
   DR_BATCH  batch size (default 14 — the published flag)
   DR_OBJ_THRESH  realtime objectness gate (default 0.95 — the published flag)
+  DR_LR / DR_WARMUP / DR_CLIP  recipe overrides (defaults are per-model,
+    see main(); SSD-512 needs lr 1e-3 / warmup 2000 — 3e-3 collapses it)
   DR_SKIP_TRAIN=1  reuse an existing workdir's checkpoint (eval only)
 """
 
@@ -208,12 +210,17 @@ def main():
         ckpt = os.path.join(work, "vgg16_torch_init.pth")
         if not os.path.exists(ckpt):
             make_torch_vgg_checkpoint(ckpt)
-        # From-scratch SSD (plain VGG, no BN) needs a hotter LR and longer
-        # warmup than RON, whose BN makes it forgiving (see NOTES.md round-2
-        # SSD e2e findings: lr 3e-3 / warmup 1000 / clip 50).
+        # From-scratch SSD (plain VGG, no BN) needs warmup + clipping, and
+        # the working recipe is size-dependent: SSD-300 takes lr 3e-3 /
+        # warmup 1000 (round-2 NOTES), but SSD-512 at bs 14 COLLAPSES to
+        # all-background with that LR (mAP 0.0 at loss ~60; round-3 NOTES) —
+        # it needs the SSD-paper-style lr 1e-3 with a longer warmup.
         is_ssd = model_name.startswith("ssd")
-        lr = 0.003 if is_ssd else 0.001
-        warmup = 1000 if is_ssd else 500
+        is_512 = spec.img_shape[0] > 400
+        lr = float(os.environ.get(
+            "DR_LR", "0.001" if (not is_ssd or is_512) else "0.003"))
+        warmup = int(os.environ.get(
+            "DR_WARMUP", "2000" if is_512 else ("1000" if is_ssd else "500")))
         cfg = apply_overrides(
             TrainConfig(),
             [
@@ -234,7 +241,7 @@ def main():
                 f"optimizer.lr_boundaries=[{int(steps * 0.75)}, {int(steps * 0.958)}]",
                 "optimizer.lr_factors=[1.0, 0.1, 0.001]",
                 f"optimizer.warmup_steps={warmup}",  # from-scratch heads need it
-                "optimizer.clip_global_norm=50.0",
+                f"optimizer.clip_global_norm={os.environ.get('DR_CLIP', '25.0' if is_512 else '50.0')}",
                 "match.positive_threshold=0.56",
                 f"checkpoint_path={ckpt}",
                 "checkpoint_format=torch",
