@@ -68,6 +68,11 @@ class TrainConfig:
     # bfloat16=true; deviation from f32 normalize is bf16-level noise
     # (see models/layers.py set_bn_fast_normalize).
     bn_fast_normalize: bool = False
+    # Train with the fused Pallas block-1 kernel (custom recompute VJP —
+    # block-1 activations are never stored; kernels/fused_conv_pool.py).
+    # Only supported at TPU-friendly input shapes (vgg.fused_block1_supported)
+    # and only profitable at 320²-class resolutions; ignored on CPU meshes.
+    fuse_block1: bool = False
     log_every_steps: int = 10  # ref: log_every_n_steps
     save_every_steps: int = 2000
     save_interval_secs: float = 7200.0  # ref: ron_net.py:415

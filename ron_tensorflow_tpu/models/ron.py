@@ -186,7 +186,7 @@ class RON(nn.Module):
     spec: DetectorSpec = RON_320_SPEC
     backbone_variant: str = "reduced"  # 'reduced' | 'heavy'
     dtype: Any = jnp.float32
-    fuse_block1: bool = False  # inference-only Pallas block-1 (see vgg.py)
+    fuse_block1: bool = False  # Pallas block-1 kernel (see vgg.py)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> DetectorOutputs:
@@ -196,7 +196,7 @@ class RON(nn.Module):
         end_points = VGG16Backbone(
             variant=self.backbone_variant,
             dtype=self.dtype,
-            fuse_block1=self.fuse_block1 and not train,
+            fuse_block1=self.fuse_block1,
             name="backbone",
         )(x)
 

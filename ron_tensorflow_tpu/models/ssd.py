@@ -136,7 +136,7 @@ class SSD(nn.Module):
     spec: DetectorSpec = SSD_300_SPEC
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
-    fuse_block1: bool = False  # inference-only Pallas block-1 (see vgg.py)
+    fuse_block1: bool = False  # Pallas block-1 kernel (see vgg.py)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> DetectorOutputs:
@@ -145,7 +145,7 @@ class SSD(nn.Module):
         conv = lambda f, name, **kw: Conv(features=f, dtype=self.dtype, name=name, **kw)
 
         end_points = {}
-        if self.fuse_block1 and not train:
+        if self.fuse_block1:
             from ..kernels import fused_vgg_block1
             from .vgg import _ConvKernelBias, fused_block1_supported
 

@@ -63,11 +63,12 @@ class VGG16Backbone(nn.Module):
 
     variant: str = "reduced"
     dtype: Any = jnp.float32
-    # Inference-only: run block 1 (conv1_1+conv1_2+pool) as one Pallas kernel
-    # — the full-resolution intermediates never touch HBM. Same param tree,
-    # so a flag flip on a trained checkpoint is safe. No autodiff; the
-    # `block1` (pre-pool) endpoint is not materialized (no RON/SSD head
-    # consumes it).
+    # Run block 1 (conv1_1+conv1_2+pool) as one Pallas kernel — the
+    # full-resolution intermediates never touch HBM. Same param tree, so a
+    # flag flip on a trained checkpoint is safe. Differentiable (recompute
+    # custom VJP in kernels/fused_conv_pool.py), so it applies to training
+    # too; the `block1` (pre-pool) endpoint is not materialized (no RON/SSD
+    # head consumes it).
     fuse_block1: bool = False
 
     @nn.compact

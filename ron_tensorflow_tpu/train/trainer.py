@@ -76,6 +76,23 @@ class Trainer:
             from ..models.layers import set_bn_fast_normalize
 
             set_bn_fast_normalize(True)
+        if config.fuse_block1:
+            from ..models.vgg import fused_block1_supported
+
+            n_mesh = (
+                config.mesh_shape[0] * config.mesh_shape[1]
+                if config.mesh_shape
+                else jax.device_count()
+            )
+            # TPU-only kernel; Pallas custom calls do not partition under
+            # GSPMD, so only the single-device (per-process) case fuses.
+            if (
+                config.bfloat16
+                and n_mesh == 1
+                and jax.devices()[0].platform != "cpu"
+                and fused_block1_supported(*self.spec.img_shape)
+            ):
+                self.model = self.model.clone(fuse_block1=True)
         self.encoder = TargetEncoder(
             self.spec.anchor_layout(),
             self.spec.img_shape,

@@ -14,6 +14,10 @@ Variants:
               kept; conv intermediates recomputed)
   bn_fast     train-time BN normalize fused in bf16 (f32 statistics kept) —
               see models/layers.py set_bn_fast_normalize
+  block1      fused Pallas block 1 in the train step (custom recompute VJP:
+              Pallas fwd, XLA-recomputed bwd — block-1 activations never
+              stored; see kernels/fused_conv_pool.py)
+  block1_bn   block1 + bn_fast combined
 
 Run: PYTHONPATH=.:/root/.axon_site python tools/perf_train_experiments.py [bs] [variant...]
 """
@@ -86,7 +90,8 @@ def make_remat_step(model, encoder, tx, loss_config, policy=None):
 
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    wanted = sys.argv[2:] or ["base", "bn_fast", "remat", "remat_dots"]
+    wanted = sys.argv[2:] or ["base", "bn_fast", "remat", "remat_dots", "block1",
+                              "block1_bn"]
 
     from ron_tensorflow_tpu.data.preprocess import PreprocessConfig, train_augment_batch
     from ron_tensorflow_tpu.losses.ron import RonLossConfig
@@ -141,12 +146,19 @@ def main():
         variants["remat_dots"] = make_remat_step(
             model, encoder, tx, RonLossConfig(),
             policy=jax.checkpoint_policies.dots_saveable)
+    fused_model = model.clone(fuse_block1=True)
+    if "block1" in wanted:
+        variants["block1"] = make_train_step(
+            fused_model, encoder, tx, RonLossConfig())
+    if "block1_bn" in wanted:
+        variants["block1_bn"] = make_train_step(
+            fused_model, encoder, tx, RonLossConfig())
 
     from ron_tensorflow_tpu.models import layers
 
     results = {}
     for name, step in variants.items():
-        layers.set_bn_fast_normalize(name == "bn_fast")
+        layers.set_bn_fast_normalize(name in ("bn_fast", "block1_bn"))
         state = create_train_state(model, jax.random.PRNGKey(0),
                                    (bs, *spec.img_shape, 3), tx)
         state = jax.device_put(state)
