@@ -3,8 +3,11 @@ augmentation + GT encode + fwd/bwd + update) on synthetic host batches —
 isolates device step time from the input pipeline.
 
 Run: PYTHONPATH=.:/root/.axon_site python tools/bench_train.py [batch ...]
+Env: BENCH_TRAIN_FLAGS — extra dotted TrainConfig overrides, comma-separated
+     (e.g. BENCH_TRAIN_FLAGS="bn_fast_normalize=true,fuse_block1=true").
 """
 
+import os
 import sys
 import time
 
@@ -29,6 +32,7 @@ def main():
                 "bfloat16=true",
                 "mesh_shape=[1, 1]",
                 "optimizer.learning_rate_decay_type=fixed",
+                *[f for f in os.environ.get("BENCH_TRAIN_FLAGS", "").split(",") if f],
             ],
         )
         t = Trainer(cfg)

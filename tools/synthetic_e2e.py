@@ -108,6 +108,9 @@ def main():
             "match.positive_threshold=0.5",
             "mesh_shape=[1, 1]",
             f"bfloat16={bf16}",
+            # train-perf knobs (A/B quality equivalence of the fast paths)
+            f"bn_fast_normalize={os.environ.get('SYNTH_BN_FAST', 'false')}",
+            f"fuse_block1={os.environ.get('SYNTH_FUSE_BLOCK1', 'false')}",
         ],
     )
     cfg = replace(cfg, data=replace(cfg.data, working_shape=(canvas, canvas)))
