@@ -223,7 +223,9 @@ def cmd_realtime_eval(args):
     rt = RealtimeEvaluator(
         model,
         spec,
-        RealtimeConfig(objectness_threshold=args.objectness_threshold),
+        # SSD models get streaming-equivalent class-wise settings (the
+        # objectness override is meaningless there and is ignored)
+        RealtimeConfig.for_spec(spec, objectness_threshold=args.objectness_threshold),
     )
     mAP, aps = rt.evaluate_voc(
         variables,
@@ -252,7 +254,9 @@ def cmd_infer(args):
     variables, _ = _restore_for_eval(model, spec, args.model_dir, args.use_ema)
     model = _maybe_fuse_block1(model, spec, batched=False)  # batch-1 path
     det = RealtimeDetector(
-        model, spec, RealtimeConfig(objectness_threshold=args.objectness_threshold)
+        model,
+        spec,
+        RealtimeConfig.for_spec(spec, objectness_threshold=args.objectness_threshold),
     )
     from .data.resize import tf1_bilinear_resize
 

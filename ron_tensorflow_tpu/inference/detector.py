@@ -88,6 +88,36 @@ class RealtimeConfig:
     # scaled by sqrt(H0*W0/(320*320)) of the original frame
     # (ref: ron_eval.py:369-375 filter_boxes)
     min_size: float = 0.03
+    # Class-wise mode: per-class top-k + per-class NMS (the streaming
+    # `detected_bboxes` semantics) instead of the RON-specific
+    # argmax-class flatten + whole-image class-blind NMS of ron_eval.py.
+    # ron_eval.py's whole-image path only makes sense behind a sharp
+    # objectness gate; for detectors WITHOUT an objectness branch (SSD)
+    # the class-blind union NMS suppresses across classes and costs real
+    # mAP (measured: 0.886 streaming vs 0.805 whole-image on a trained
+    # SSD-512). `for_spec` selects this automatically for such models.
+    class_wise: bool = False
+    keep_per_class: int = 100  # per-class NMS survivors before the flatten
+
+    @classmethod
+    def for_spec(cls, spec, **overrides):
+        """Model-family-appropriate realtime defaults: the published
+        ron_eval.py flags for objectness models, streaming-equivalent
+        class-wise settings (eval_ssd_network.py's select/top-k/NMS
+        values) for detectors without an objectness prior."""
+        if getattr(spec, "has_objectness", True):
+            return dataclasses.replace(cls(), **overrides)
+        base = cls(
+            class_wise=True,
+            select_threshold=0.01,
+            objectness_threshold=0.0,
+            top_k=200,
+            keep_per_class=100,
+            keep_top_k=200,
+            nms_mode="min",
+        )
+        overrides.pop("objectness_threshold", None)  # objness==1 for these
+        return dataclasses.replace(base, **overrides)
 
 
 class Detector:
@@ -228,6 +258,8 @@ class RealtimeDetector:
         min_size = jnp.maximum(jnp.asarray(min_size, jnp.float32), 1e-4)
         min_size = jnp.broadcast_to(min_size, out.predictions.shape[:1])  # [B]
         decoded = decode_boxes(out.locations, self._anchors, self.spec.prior_scaling)
+        if cfg.class_wise:
+            return self._postprocess_class_wise(out, decoded, min_size)
 
         def per_image(preds, objness, dec, min_size):
             # score = objness * class prob; argmax class
@@ -254,6 +286,58 @@ class RealtimeDetector:
                 keep_top_k=cfg.keep_top_k,
                 mode=cfg.nms_mode,
             )
+
+        return jax.vmap(per_image)(
+            out.predictions, out.objness_pred, decoded, min_size
+        )
+
+    def _postprocess_class_wise(self, out, decoded, min_size):
+        """Streaming-semantics realtime path: per-class top-k + per-class
+        NMS (exactly `Detector.postprocess`'s candidate selection), then one
+        whole-image flatten to (scores, labels, boxes, valid). Used for
+        detectors without an objectness branch, where ron_eval.py's
+        class-blind whole-image NMS has no reference analogue and measurably
+        hurts (see RealtimeConfig.class_wise)."""
+        cfg = self.config
+        num_classes = out.predictions.shape[-1]
+
+        def per_image(preds, objness, dec, ms):
+            b = boxops.clip_to_ref(dec)  # [N, 4]
+            base = (objness > cfg.objectness_threshold) & boxops.min_size_mask(
+                b, ms
+            )
+            cls = preds[:, 1:]  # [N, C-1]
+            keep = base[:, None] & (cls > cfg.select_threshold)
+            scores = jnp.where(keep, cls, 0.0).T  # [C-1, N]
+            k = min(cfg.top_k, scores.shape[-1])
+            top_scores, top_idx = jax.lax.top_k(scores, k)  # [C-1, k]
+            # trailing-axis gather — same lowering as Detector.postprocess
+            # (leading-axis gathers fault in libtpu on SSD shapes)
+            top_boxes = jnp.take_along_axis(
+                b[None, :, :], top_idx[..., None], axis=1
+            )  # [C-1, k, 4]
+            method = (
+                "loop" if jax.devices()[0].platform == "cpu" else "fixpoint"
+            )
+            nms_core = (
+                nmsops.nms_sorted if method == "loop" else nmsops.nms_sorted_fixpoint
+            )
+            s, bx = jax.vmap(
+                lambda ss, bb: nms_core(
+                    ss, bb, cfg.nms_threshold, cfg.keep_per_class, cfg.nms_mode
+                )
+            )(top_scores, top_boxes)  # [C-1, keep_per_class]
+            labels = jnp.broadcast_to(
+                jnp.arange(1, num_classes, dtype=jnp.int32)[:, None], s.shape
+            )
+            flat_s = s.reshape(-1)
+            flat_b = bx.reshape(-1, 4)
+            flat_l = labels.reshape(-1)
+            kk = min(cfg.keep_top_k, flat_s.shape[0])
+            vals, idx = jax.lax.top_k(flat_s, kk)
+            lab = jnp.take_along_axis(flat_l, idx, axis=0)
+            bxs = jnp.take_along_axis(flat_b, idx[:, None], axis=0)
+            return vals, lab, bxs, vals > 0
 
         return jax.vmap(per_image)(
             out.predictions, out.objness_pred, decoded, min_size

@@ -50,6 +50,10 @@ class DetectorSpec:
     # Per-layer L2-normalization scale init; <=0 disables (SSD block4 uses 20,
     # ref: nets/ssd_vgg_300.py:122 normalizations).
     normalizations: Tuple[float, ...] = ()
+    # Whether the model emits a real objectness prior (RON). SSD sets False:
+    # its ModelOutput carries objness=1 placeholders, so objectness-gated
+    # paths (RealtimeConfig.for_spec) must pick class-wise semantics instead.
+    has_objectness: bool = True
 
     @functools.lru_cache(maxsize=None)
     def anchor_layout(self) -> AnchorLayout:

@@ -46,6 +46,7 @@ SSD_300_SPEC = DetectorSpec(
     anchor_steps=(8.0, 16.0, 32.0, 64.0, 100.0, 300.0),
     anchor_style="ssd",
     normalizations=(20.0, -1.0, -1.0, -1.0, -1.0, -1.0),
+    has_objectness=False,
 )
 
 SSD_512_SPEC = DetectorSpec(
@@ -76,6 +77,7 @@ SSD_512_SPEC = DetectorSpec(
     anchor_steps=(8.0, 16.0, 32.0, 64.0, 128.0, 256.0, 512.0),
     anchor_style="ssd",
     normalizations=(20.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0),
+    has_objectness=False,
 )
 
 

@@ -196,3 +196,53 @@ def test_approx_max_k_recall_at_ron320_scale():
     _, idx_e = jax.lax.top_k(scores, 200)
     recall = len(set(np.asarray(idx_a).tolist()) & set(np.asarray(idx_e).tolist())) / 200
     assert recall >= 0.95
+
+
+def test_classwise_realtime_matches_streaming_detector():
+    """RealtimeConfig.class_wise (auto-selected for SSD, which has no
+    objectness branch) must reproduce the streaming Detector's per-class
+    keep sets exactly — same candidate selection, same per-class NMS, just
+    flattened to whole-image (scores, labels, boxes, valid)."""
+    from ron_tensorflow_tpu.inference.detector import RealtimeConfig, RealtimeDetector
+
+    out = _tiny_outputs(np.random.default_rng(7))
+    c = RON_TINY_SPEC.num_classes
+    common = dict(
+        select_threshold=0.05,
+        objectness_threshold=0.0,
+        top_k=50,
+        nms_threshold=0.4,
+        nms_mode="min",
+        min_size=0.03,
+    )
+    det = _detector(keep_top_k=10, nms_method="loop", approx_top_k=False, **common)
+    s_det, b_det = det.postprocess(out)  # [B, C-1, 10], [B, C-1, 10, 4]
+    rcfg = RealtimeConfig(
+        class_wise=True, keep_per_class=10, keep_top_k=(c - 1) * 10, **common
+    )
+    rt = RealtimeDetector(_NoModel(), RON_TINY_SPEC, rcfg)
+    s_rt, l_rt, b_rt, v_rt = rt.postprocess(out)
+
+    s_det, b_det = np.asarray(s_det), np.asarray(b_det)
+    s_rt, l_rt, b_rt, v_rt = map(np.asarray, (s_rt, l_rt, b_rt, v_rt))
+    assert (v_rt.sum(axis=1) == (s_det > 0).sum(axis=(1, 2))).all()
+    for b in range(s_det.shape[0]):
+        for cls in range(1, c):
+            det_row = s_det[b, cls - 1]
+            det_scores = det_row[det_row > 0]
+            det_boxes = b_det[b, cls - 1][det_row > 0]
+            sel = v_rt[b] & (l_rt[b] == cls)
+            np.testing.assert_array_equal(s_rt[b][sel], det_scores)
+            np.testing.assert_array_equal(b_rt[b][sel], det_boxes)
+
+
+def test_realtime_for_spec_selects_family_defaults():
+    from ron_tensorflow_tpu.inference.detector import RealtimeConfig
+    from ron_tensorflow_tpu.models.ssd import SSD_300_SPEC
+
+    ron = RealtimeConfig.for_spec(RON_TINY_SPEC, objectness_threshold=0.9)
+    assert not ron.class_wise and ron.objectness_threshold == 0.9
+    assert ron.select_threshold == 0.6  # the published ron_eval.py flags
+    ssd = RealtimeConfig.for_spec(SSD_300_SPEC, objectness_threshold=0.9)
+    assert ssd.class_wise and ssd.objectness_threshold == 0.0
+    assert ssd.select_threshold == 0.01 and ssd.nms_mode == "min"
