@@ -33,7 +33,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.math import smooth_l1
+from ..ops.math import smooth_l1, softmax_ce as _softmax_ce
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,12 +52,6 @@ class RonLossConfig:
 def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     denom = jnp.sum(mask.astype(values.dtype))
     return jnp.sum(values * mask.astype(values.dtype)) / jnp.maximum(denom, 1.0)
-
-
-def _softmax_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Sparse softmax cross-entropy, fp32."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
 
 
 def ron_losses(

@@ -19,7 +19,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.math import abs_smooth
+from ..ops.math import abs_smooth, softmax_ce as _softmax_ce
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,11 +28,6 @@ class SsdLossConfig:
     match_threshold: float = 0.5
     negative_ratio: float = 3.0
     alpha: float = 1.0  # localization weight
-
-
-def _softmax_ce(logits, labels):
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
 
 
 def ssd_losses(

@@ -37,6 +37,26 @@ def smooth_l1(diff, sigma: float = 1.0):
     return jnp.where(absd < 1.0 / sigma2, quad, lin)
 
 
+def softmax_ce(logits, labels):
+    """Sparse softmax cross-entropy in f32, gather-free.
+
+    Computed as `logsumexp(logits) - logits[label]` with the label pick as a
+    one-hot contraction. The textbook
+    `take_along_axis(log_softmax(logits), labels)` is mathematically
+    identical but its gather costs ~19 ms at [32, 21250, 21] when fused into
+    the RON train step on TPU (measured; the same gather is fast standalone —
+    the lowering degrades inside large fused programs). The one-hot form is
+    pure elementwise+reduce, fuses cleanly, and its backward avoids the
+    scatter entirely.
+    """
+    x = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(x, axis=-1)
+    picked = jnp.sum(
+        x * jax.nn.one_hot(labels, x.shape[-1], dtype=x.dtype), axis=-1
+    )
+    return lse - picked
+
+
 def abs_smooth(x):
     """Smoothed L1 with the reference's differentiable min/abs form
     (ref: nets/custom_layers.py:51-63)."""

@@ -83,3 +83,25 @@ def test_ssd_hard_mining_selects_hardest(rng):
     t_easy, _ = ssd_losses(logits, locs, gclasses, glocs, gscores)
     t_hard, _ = ssd_losses(hard, locs, gclasses, glocs, gscores)
     assert float(t_hard) > float(t_easy)
+
+
+def test_softmax_ce_matches_gather_formulation(rng):
+    """The gather-free CE (ops.math.softmax_ce) must equal the textbook
+    take_along_axis(log_softmax) form — values AND gradients. (The gather
+    form costs ~19 ms inside the fused TPU train step; see NOTES.md.)"""
+    from ron_tensorflow_tpu.ops.math import softmax_ce
+
+    logits = jnp.asarray(rng.normal(size=(3, 257, 21)) * 5.0, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 21, (3, 257)), jnp.int32)
+
+    def ce_gather(lg):
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+    a = softmax_ce(logits, labels)
+    b = ce_gather(logits)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+    ga = jax.grad(lambda lg: jnp.sum(softmax_ce(lg, labels)))(logits)
+    gb = jax.grad(lambda lg: jnp.sum(ce_gather(lg)))(logits)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5, rtol=1e-4)
