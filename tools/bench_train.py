@@ -5,6 +5,8 @@ isolates device step time from the input pipeline.
 Run: PYTHONPATH=.:/root/.axon_site python tools/bench_train.py [batch ...]
 Env: BENCH_TRAIN_FLAGS — extra dotted TrainConfig overrides, comma-separated
      (e.g. BENCH_TRAIN_FLAGS="bn_fast_normalize=true,fuse_block1=true").
+     BENCH_TRAIN_MODEL — model name (default ron_320_vgg); the image size
+     follows the model spec.
 """
 
 import os
@@ -21,11 +23,12 @@ from ron_tensorflow_tpu.train.trainer import Trainer
 
 def main():
     batches = [int(a) for a in sys.argv[1:]] or [14, 32]
+    model_name = os.environ.get("BENCH_TRAIN_MODEL", "ron_320_vgg")
     for bs in batches:
         cfg = apply_overrides(
             TrainConfig(),
             [
-                "model=ron_320_vgg",
+                f"model={model_name}",
                 "model_dir=/tmp/bench_train_model",
                 f"data.batch_size={bs}",
                 "data.max_boxes=8",

@@ -112,6 +112,14 @@ def main():
         image, t = aug_encode(b, k)
         return image[0, 0, 0, 0] + t.labels[0, 0]
 
+    # IMPORTANT: every variant must consume ALL of what it claims to compute
+    # (sum over every tree leaf). Consuming a single leaf lets XLA dead-code
+    # eliminate the other weight-grad contractions and most of the state
+    # update — the original single-leaf probe under-reported the backward by
+    # ~30 ms at batch 32 and mis-attributed it to "full step overhead".
+    def _consume(tree):
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(tree))
+
     @jax.jit
     def v_fwd(st, b, k):
         image, t = aug_encode(b, k)
@@ -119,7 +127,7 @@ def main():
         total, (_, new_bs) = make_loss_closure(st, image, t, k_loss, k_drop)(
             st.params
         )
-        return total + jax.tree.leaves(new_bs)[0][0]
+        return total + _consume(new_bs)
 
     @jax.jit
     def v_grad(st, b, k):
@@ -128,7 +136,7 @@ def main():
         grads, (metrics, new_bs) = jax.grad(
             make_loss_closure(st, image, t, k_loss, k_drop), has_aux=True
         )(st.params)
-        return metrics["loss/total"] + jax.tree.leaves(grads)[0].ravel()[0]
+        return metrics["loss/total"] + _consume(grads) + _consume(new_bs)
 
     @jax.jit
     def v_update(st, b, k):
@@ -141,8 +149,9 @@ def main():
         new_params = optax.apply_updates(st.params, updates)
         return (
             metrics["loss/total"]
-            + jax.tree.leaves(new_params)[0].ravel()[0]
-            + jax.tree.leaves(new_opt)[0].ravel()[0]
+            + _consume(new_params)
+            + _consume(new_opt)
+            + _consume(new_bs)
         )
 
     # Production full step: make_train_step takes pre-augmented batches
