@@ -54,6 +54,11 @@ class PipelineConfig:
     # are remapped for CENTRAL_CROP / PAD_AND_RESIZE. 'NONE' cannot be
     # batched (variable shapes) — use the realtime evaluator for it.
     eval_resize: Optional[str] = None
+    # JPEG-decode thread pool per batch (the reference ran 24 preprocessing
+    # threads, ref: ron_net.py:300). cv2/PIL release the GIL, so decode
+    # scales with cores; outputs are order-preserving and bit-identical to
+    # serial. -1 = auto (min(8, cpu_count-1)); 0/1 = serial.
+    decode_workers: int = -1
 
 
 def decode_jpeg_raw(data: bytes) -> np.ndarray:
@@ -224,13 +229,37 @@ def batch_iterator(
             cache[key] = hit
         return hit
 
+    if config.decode_workers == -1:
+        import os
+
+        n_workers = max(1, min(8, (os.cpu_count() or 2) - 1))
+    else:
+        n_workers = max(1, config.decode_workers)
+    pool = None
+    if n_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=n_workers, thread_name_prefix="decode")
+
     exhausted = False
-    while not exhausted:
-        images, labels, boxes, valid, difficult = [], [], [], [], []
-        try:
-            for _ in range(config.batch_size):
-                s = next(it)
-                images.append(decode(s["jpeg"]))
+    try:
+        while not exhausted:
+            samples: List[Dict] = []
+            try:
+                for _ in range(config.batch_size):
+                    samples.append(next(it))
+            except StopIteration:
+                exhausted = True
+                if not samples or drop_remainder:
+                    return
+            # Decode the whole batch in the thread pool (cv2/PIL release the
+            # GIL); order-preserving, bit-identical to the serial path.
+            if pool is not None:
+                images = list(pool.map(decode, (s["jpeg"] for s in samples)))
+            else:
+                images = [decode(s["jpeg"]) for s in samples]
+            labels, boxes, valid, difficult = [], [], [], []
+            for s in samples:
                 if config.eval_resize in ("CENTRAL_CROP", "PAD_AND_RESIZE"):
                     from .resize import remap_boxes_for_eval
 
@@ -250,31 +279,30 @@ def batch_iterator(
                 boxes.append(gt["boxes"])
                 valid.append(gt["valid"])
                 difficult.append(gt["difficult"])
-        except StopIteration:
-            exhausted = True
-            if not images or drop_remainder:
-                return
-        n_real = len(images)
-        pad = config.batch_size - n_real
-        if pad:
-            images += [np.zeros_like(images[0])] * pad
-            labels += [np.zeros_like(labels[0])] * pad
-            boxes += [np.zeros_like(boxes[0])] * pad
-            valid += [np.zeros_like(valid[0])] * pad
-            difficult += [np.zeros_like(difficult[0])] * pad
-        stacked = np.stack(images)  # uint8 from decode()
-        if config.output_dtype != "uint8":
-            stacked = stacked.astype(np.float32) / 255.0
-        sample_valid = np.zeros((config.batch_size,), bool)
-        sample_valid[:n_real] = True
-        yield {
-            "image01": stacked,
-            "gt_labels": np.stack(labels),
-            "gt_boxes": np.stack(boxes),
-            "gt_valid": np.stack(valid),
-            "gt_difficult": np.stack(difficult),
-            "sample_valid": sample_valid,
-        }
+            n_real = len(images)
+            pad = config.batch_size - n_real
+            if pad:
+                images += [np.zeros_like(images[0])] * pad
+                labels += [np.zeros_like(labels[0])] * pad
+                boxes += [np.zeros_like(boxes[0])] * pad
+                valid += [np.zeros_like(valid[0])] * pad
+                difficult += [np.zeros_like(difficult[0])] * pad
+            stacked = np.stack(images)  # uint8 from decode()
+            if config.output_dtype != "uint8":
+                stacked = stacked.astype(np.float32) / 255.0
+            sample_valid = np.zeros((config.batch_size,), bool)
+            sample_valid[:n_real] = True
+            yield {
+                "image01": stacked,
+                "gt_labels": np.stack(labels),
+                "gt_boxes": np.stack(boxes),
+                "gt_valid": np.stack(valid),
+                "gt_difficult": np.stack(difficult),
+                "sample_valid": sample_valid,
+            }
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 class PrefetchIterator:

@@ -167,3 +167,22 @@ def test_parse_voc_example_roundtrip(tmp_path):
     assert s["boxes"].shape == (2, 4)
     assert s["difficult"].tolist() == [0, 0]
     assert s["jpeg"][:2] == b"\xff\xd8"
+
+
+def test_decode_workers_parity(tmp_path):
+    """Thread-pooled decode must be bit-identical and order-preserving vs
+    serial (decode_workers=1)."""
+    files = _write_synthetic_dataset(tmp_path, n=9)
+    base = dict(batch_size=4, working_shape=(64, 64), max_boxes=8, shuffle=False)
+    serial = list(
+        batch_iterator(files, PipelineConfig(**base, decode_workers=1), epochs=1,
+                       drop_remainder=False)
+    )
+    pooled = list(
+        batch_iterator(files, PipelineConfig(**base, decode_workers=4), epochs=1,
+                       drop_remainder=False)
+    )
+    assert len(serial) == len(pooled) == 3  # 9 samples -> 2 full + 1 padded
+    for a, b in zip(serial, pooled):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
