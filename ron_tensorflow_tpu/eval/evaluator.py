@@ -116,9 +116,10 @@ class StreamingEvaluator:
             # placement every jitted call re-uploads the full param tree
             # (~100s of MB — hundreds of ms per batch on a PCIe/tunnel link).
             variables = jax.device_put(variables)
-        for bi, batch in enumerate(batches):
-            if max_batches is not None and bi >= max_batches:
-                break
+        def dispatch(bi, batch):
+            """Enqueue one batch on the device; returns lazy device arrays.
+            JAX dispatch is async — the device starts on this batch while
+            the host harvests the previous one below."""
             image = batch["image"]
             gt_labels = batch["gt_labels"]
             gt_boxes = batch["gt_boxes"]
@@ -157,14 +158,24 @@ class StreamingEvaluator:
                 gt_boxes,
                 gt_difficult,
             )
+            sample_valid = batch.get("sample_valid")
+            return bi, scores, res, batch_losses, sample_valid
+
+        def harvest(pending):
+            """Pull one dispatched batch to host and accumulate TP/FP.
+            Runs while the NEXT batch computes on device (the reference's
+            eval loop was strictly serial per sess.run,
+            ref: eval_ron_network.py:354-366)."""
+            nonlocal n_images, n_loss_batches
+            bi, scores, res, batch_losses, sample_valid = pending
             scores_np = np.asarray(scores)
             n_gt = np.asarray(res.n_gt)
             tp = np.asarray(res.tp)
             fp = np.asarray(res.fp)
             b = scores_np.shape[0]
-            sample_valid = np.asarray(
-                batch.get("sample_valid", np.ones((b,), bool))
-            )
+            if sample_valid is None:
+                sample_valid = np.ones((b,), bool)
+            sample_valid = np.asarray(sample_valid)
             for img in range(b):
                 if not sample_valid[img]:
                     continue  # padding row of a final short batch
@@ -186,6 +197,20 @@ class StreamingEvaluator:
             if log_every and (bi + 1) % log_every == 0:
                 dt = time.time() - t_start
                 print(f"[eval] {n_images} images, {dt / n_images:.3f} sec/image")
+
+        # One-deep software pipeline: dispatch batch i, then harvest batch
+        # i-1 — device compute overlaps host-side result transfer and
+        # python accumulation.
+        pending = None
+        for bi, batch in enumerate(batches):
+            if max_batches is not None and bi >= max_batches:
+                break
+            current = dispatch(bi, batch)
+            if pending is not None:
+                harvest(pending)
+            pending = current
+        if pending is not None:
+            harvest(pending)
 
         map07, aps07 = acc.mean_average_precision("voc07")
         map12, _ = acc.mean_average_precision("voc12")

@@ -80,7 +80,15 @@ class RealtimeEvaluator:
         sess.run per image (ref: ron_eval.py:539); per-image min-size
         scaling rides along as a [B] vector.
         """
-        b, h, w = images01.shape[:3]
+        h, w = images01.shape[1:3]
+        return self._harvest_batch(
+            self._dispatch_batch(variables, images01, orig_shapes), h, w
+        )
+
+    def _dispatch_batch(self, variables, images01: np.ndarray, orig_shapes):
+        """Async half of detect_batch: enqueue one batch, return the lazy
+        device arrays (JAX dispatch is asynchronous — the device starts
+        immediately; nothing blocks until _harvest_batch)."""
         cfg = self.detector.config
         net_h, net_w = self.spec.img_shape
         min_sizes = np.asarray(
@@ -90,14 +98,19 @@ class RealtimeEvaluator:
             ],
             np.float32,
         )
-        scores, labels, boxes, valid = self._detect01(
+        return self._detect01(
             variables, jnp.asarray(images01), jnp.asarray(min_sizes)
         )
+
+    def _harvest_batch(self, dispatched, h, w):
+        """Blocking half: pull the device results and build the per-class
+        pixel-box dicts."""
+        scores, labels, boxes, valid = dispatched
         scores, labels = np.asarray(scores), np.asarray(labels)
         boxes, valid = np.asarray(boxes), np.asarray(valid)
         return [
             self._to_per_class(scores[i], labels[i], boxes[i], valid[i], h, w)
-            for i in range(b)
+            for i in range(scores.shape[0])
         ]
 
     def evaluate_voc(
@@ -156,8 +169,31 @@ class RealtimeEvaluator:
         ]
         t0 = time.time()
         n_done = 0
+
+        def harvest(gi, ids, loaded, dispatched):
+            """Pull one dispatched batch and fill all_boxes — runs while the
+            NEXT batch computes on device."""
+            nonlocal n_done
+            nh, nw = self.spec.img_shape
+            per_class_list = self._harvest_batch(dispatched, nh, nw)
+            for k, image_id in enumerate(ids):
+                ii = gi * batch_size + k
+                h0, w0 = loaded[k][1]
+                for cls, rows in per_class_list[k].items():
+                    rows = rows.copy()
+                    # boxes were scaled by the net dims; rescale to the
+                    # original frame
+                    rows[:, [0, 2]] *= w0 / nw
+                    rows[:, [1, 3]] *= h0 / nh
+                    all_boxes[cls][ii] = rows
+            n_done += len(ids)
+            if (gi + 1) % max(1, 100 // batch_size) == 0:
+                print(f"[ron-eval] {n_done}/{len(image_ids)}  "
+                      f"{(time.time() - t0) / n_done:.3f} sec/image")
+
         with ThreadPoolExecutor(max_workers=decode_workers) as pool:
             pending = [pool.submit(load, i) for i in groups[0]] if groups else []
+            prev = None  # one-deep pipeline: (gi, ids, loaded, device arrays)
             for gi, ids in enumerate(groups):
                 loaded = [f.result() for f in pending]
                 if gi + 1 < len(groups):  # double buffer: decode ahead
@@ -170,21 +206,12 @@ class RealtimeEvaluator:
                         [images, np.zeros((pad, *images.shape[1:]), np.float32)]
                     )
                     shapes = shapes + [self.spec.img_shape] * pad
-                per_class_list = self.detect_batch(variables, images, shapes)
-                for k, image_id in enumerate(ids):
-                    ii = gi * batch_size + k
-                    h0, w0 = loaded[k][1]
-                    for cls, rows in per_class_list[k].items():
-                        rows = rows.copy()
-                        # detect_batch scaled by the net dims; rescale to the
-                        # original frame
-                        rows[:, [0, 2]] *= w0 / self.spec.img_shape[1]
-                        rows[:, [1, 3]] *= h0 / self.spec.img_shape[0]
-                        all_boxes[cls][ii] = rows
-                n_done += len(ids)
-                if (gi + 1) % max(1, 100 // batch_size) == 0:
-                    print(f"[ron-eval] {n_done}/{len(image_ids)}  "
-                          f"{(time.time() - t0) / n_done:.3f} sec/image")
+                dispatched = self._dispatch_batch(variables, images, shapes)
+                if prev is not None:
+                    harvest(*prev)
+                prev = (gi, ids, loaded, dispatched)
+            if prev is not None:
+                harvest(*prev)
 
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
