@@ -13,7 +13,7 @@ they agree.
 
 Run: PYTHONPATH=.:/root/.axon_site python tools/dress_rehearsal.py [workdir]
 Env:
-  DR_MODEL  ron_320_vgg (default) | ron_320_vgg_heavy | ssd_512_vgg
+  DR_MODEL  ron_320_vgg (default) | ron_320_vgg_heavy | ssd_300_vgg | ssd_512_vgg
   DR_STEPS  total steps (default 20000)
   DR_TRAIN / DR_TEST  dataset sizes (default 10000 / 1000)
   DR_BATCH  batch size (default 14 — the published flag)
