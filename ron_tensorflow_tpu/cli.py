@@ -192,7 +192,11 @@ def cmd_eval(args):
             variables, step = _restore_for_eval(model, spec, model_dir, cfg.use_ema)
             print(f"[eval] restored step {step}")
             map07, map12, aps07, stats = ev.run(
-                variables, eval_batches(), cfg.max_batches
+                variables,
+                eval_batches(),
+                cfg.max_batches,
+                debug_dir=cfg.debug_dir,
+                debug_max_images=cfg.debug_max_images,
             )
             for cls, ap in sorted(aps07.items()):
                 print(f"  AP07[class {cls:2d}] = {ap:.4f}")
@@ -233,6 +237,7 @@ def cmd_realtime_eval(args):
         args.set_type,
         max_images=args.max_images,
         output_dir=args.output_dir,
+        debug_dir=args.debug_dir,
     )
     for cls, ap in aps.items():
         print(f"AP for {cls} = {ap:.4f}")
@@ -449,6 +454,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--output-dir", default="./output_test")
     r.add_argument("--objectness-threshold", type=float, default=0.95)
     r.add_argument("--use-ema", action="store_true")
+    r.add_argument(
+        "--debug-dir", default=None,
+        help="dump boxed JPEGs of the detections (ref: ron_eval.py:553-555)",
+    )
     r.set_defaults(fn=cmd_realtime_eval)
 
     i = sub.add_parser("infer", help="detect objects in images")

@@ -73,6 +73,12 @@ class TrainConfig:
     # Only supported at TPU-friendly input shapes (vgg.fused_block1_supported)
     # and only profitable at 320²-class resolutions; ignored on CPU meshes.
     fuse_block1: bool = False
+    # Train with block 1 in the 2x2 polyphase (space-to-depth) domain —
+    # exact reindexing of the same parameters, pure XLA so it partitions
+    # under GSPMD meshes (unlike fuse_block1). Fixes the channel-starved
+    # stem's MXU efficiency (see models/vgg.py s2d_block1). Needs even
+    # input dims (vgg.s2d_stem_supported).
+    s2d_stem: bool = False
     log_every_steps: int = 10  # ref: log_every_n_steps
     save_every_steps: int = 2000
     save_interval_secs: float = 7200.0  # ref: ron_net.py:415
@@ -143,6 +149,10 @@ class EvalConfig:
     wait_for_checkpoints: bool = False
     eval_interval_secs: float = 60.0
     max_evals: Optional[int] = None  # stop after N evaluations (None = forever)
+    # Debug boxed-JPEG dumps of post-NMS detections (the reference's
+    # in-graph py_func hook, ref: eval_ron_network.py:240-247). None = off.
+    debug_dir: Optional[str] = None
+    debug_max_images: int = 64
     # Eval resize strategy (ref: eval_ssd_network.py `eval_resize_option` +
     # ssd_vgg_preprocessing.py:358-425): WARP_RESIZE (default) |
     # CENTRAL_CROP | PAD_AND_RESIZE. ('NONE' needs the realtime evaluator.)

@@ -43,13 +43,10 @@ class StreamingEvaluator:
         losses on every eval batch alongside the detection metrics, like the
         reference's eval graph did (ref: eval_ron_network.py:212-220). The
         forward pass is shared with detection (one model.apply per batch)."""
-        if mesh is not None and config.nms_method in ("auto", "pallas"):
-            import dataclasses
-
-            # Pallas custom calls do not partition under GSPMD — pick the
-            # XLA-native fixpoint for sharded eval.
-            config = dataclasses.replace(config, nms_method="fixpoint")
-        self.detector = Detector(model, spec, config)
+        # Sharded eval keeps the Pallas NMS fast path: the Detector wraps the
+        # kernel in shard_map over 'data' when given a mesh (Pallas custom
+        # calls do not partition under plain GSPMD).
+        self.detector = Detector(model, spec, config, mesh=mesh)
         self.spec = spec
         self.matching_threshold = matching_threshold
         self.mesh = mesh
@@ -92,8 +89,15 @@ class StreamingEvaluator:
         batches: Iterator[Dict[str, np.ndarray]],
         max_batches: Optional[int] = None,
         log_every: int = 50,
+        debug_dir: Optional[str] = None,
+        debug_max_images: int = 64,
+        debug_score_threshold: float = 0.5,
     ):
         """batches yield whitened images + padded GT (+ difficult flags).
+
+        debug_dir: dump boxed JPEGs of the post-NMS detections for the first
+        `debug_max_images` images, like the reference's in-graph py_func hook
+        (ref: eval_ron_network.py:240-247 save_image_with_bbox).
 
         Returns (map07, map12, {class: ap07}, stats).
         """
@@ -116,6 +120,36 @@ class StreamingEvaluator:
             # placement every jitted call re-uploads the full param tree
             # (~100s of MB — hundreds of ms per batch on a PCIe/tunnel link).
             variables = jax.device_put(variables)
+        n_debugged = 0
+
+        def debug_dump(image_np, scores_np, boxes_np):
+            """Boxed-JPEG dump of one batch's detections (host side)."""
+            nonlocal n_debugged
+            from ..data.preprocess import VGG_MEANS
+            from ..utils.visualization import save_image_with_boxes
+
+            for img in range(image_np.shape[0]):
+                if n_debugged >= debug_max_images:
+                    return
+                if image_np.dtype == np.uint8:
+                    img01 = image_np[img].astype(np.float32) / 255.0
+                else:  # whitened floats -> [0,1]
+                    img01 = (
+                        image_np[img].astype(np.float32)
+                        + np.asarray(VGG_MEANS, np.float32)
+                    ) / 255.0
+                keep = scores_np[img] >= debug_score_threshold  # [C-1, K]
+                cls_idx, det_idx = np.nonzero(keep)
+                save_image_with_boxes(
+                    img01,
+                    boxes_np[img][cls_idx, det_idx],
+                    cls_idx + 1,  # class axis is background-stripped
+                    scores_np[img][cls_idx, det_idx],
+                    directory=debug_dir,
+                    index=n_debugged,
+                )
+                n_debugged += 1
+
         def dispatch(bi, batch):
             """Enqueue one batch on the device; returns lazy device arrays.
             JAX dispatch is async — the device starts on this batch while
@@ -159,7 +193,10 @@ class StreamingEvaluator:
                 gt_difficult,
             )
             sample_valid = batch.get("sample_valid")
-            return bi, scores, res, batch_losses, sample_valid
+            debug_image = None
+            if debug_dir is not None and n_debugged < debug_max_images:
+                debug_image = np.asarray(batch["image"])
+            return bi, scores, boxes, res, batch_losses, sample_valid, debug_image
 
         def harvest(pending):
             """Pull one dispatched batch to host and accumulate TP/FP.
@@ -167,8 +204,10 @@ class StreamingEvaluator:
             eval loop was strictly serial per sess.run,
             ref: eval_ron_network.py:354-366)."""
             nonlocal n_images, n_loss_batches
-            bi, scores, res, batch_losses, sample_valid = pending
+            bi, scores, boxes, res, batch_losses, sample_valid, debug_image = pending
             scores_np = np.asarray(scores)
+            if debug_image is not None:
+                debug_dump(debug_image, scores_np, np.asarray(boxes))
             n_gt = np.asarray(res.n_gt)
             tp = np.asarray(res.tp)
             fp = np.asarray(res.fp)

@@ -123,8 +123,14 @@ class RealtimeEvaluator:
         use_07_metric: bool = True,
         batch_size: int = 8,
         decode_workers: int = 4,
+        debug_dir: Optional[str] = None,
+        debug_max_images: int = 64,
     ):
         """Full VOCdevkit evaluation loop (ref: ron_eval.py:529-594).
+
+        debug_dir: dump boxed JPEGs of the final per-image detections for
+        the first `debug_max_images` images (the reference's in-loop debug
+        dump, ref: ron_eval.py:553-555).
 
         De-serialized host path: a thread pool reads + JPEG-decodes +
         resizes (cv2 releases the GIL), the next batch decodes while the
@@ -170,6 +176,25 @@ class RealtimeEvaluator:
         t0 = time.time()
         n_done = 0
 
+        def debug_dump(ii, image01, per_class):
+            from ..utils.visualization import save_image_with_boxes
+
+            nh, nw = self.spec.img_shape
+            rows_boxes, rows_labels, rows_scores = [], [], []
+            for cls, rows in per_class.items():
+                for x1, y1, x2, y2, s in rows:
+                    rows_boxes.append([y1 / nh, x1 / nw, y2 / nh, x2 / nw])
+                    rows_labels.append(cls)
+                    rows_scores.append(s)
+            save_image_with_boxes(
+                image01,
+                np.asarray(rows_boxes, np.float32).reshape(-1, 4),
+                np.asarray(rows_labels, np.int32),
+                np.asarray(rows_scores, np.float32),
+                directory=debug_dir,
+                index=ii,
+            )
+
         def harvest(gi, ids, loaded, dispatched):
             """Pull one dispatched batch and fill all_boxes — runs while the
             NEXT batch computes on device."""
@@ -179,6 +204,8 @@ class RealtimeEvaluator:
             for k, image_id in enumerate(ids):
                 ii = gi * batch_size + k
                 h0, w0 = loaded[k][1]
+                if debug_dir is not None and ii < debug_max_images:
+                    debug_dump(ii, loaded[k][0], per_class_list[k])
                 for cls, rows in per_class_list[k].items():
                     rows = rows.copy()
                     # boxes were scaled by the net dims; rescale to the

@@ -123,10 +123,23 @@ class RealtimeConfig:
 class Detector:
     """Class-wise detection head over a trained model."""
 
-    def __init__(self, model, spec: DetectorSpec, config: DetectionConfig = DetectionConfig()):
+    def __init__(
+        self,
+        model,
+        spec: DetectorSpec,
+        config: DetectionConfig = DetectionConfig(),
+        mesh=None,
+    ):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis. Pallas custom
+        calls do not partition under GSPMD, so with a mesh the Pallas NMS is
+        wrapped in `jax.shard_map` over 'data' — each device runs the kernel
+        on its local batch shard and sharded eval keeps the single-chip fast
+        path (previously sharded eval silently fell back to the XLA
+        fixpoint). Batch size must be divisible by the data-axis size."""
         self.model = model
         self.spec = spec
         self.config = config
+        self.mesh = mesh
         self._anchors = jnp.asarray(spec.anchor_layout().cyxhw)
 
     def __call__(self, variables, images) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -211,13 +224,30 @@ class Detector:
             from ..kernels import nms_sorted_pallas
 
             b, c = top_scores.shape[:2]
-            s, bx = nms_sorted_pallas(
-                top_scores.reshape(b * c, -1),
-                top_boxes.reshape(b * c, -1, 4),
+            interpret = jax.devices()[0].platform == "cpu"
+            run = lambda s2, b2: nms_sorted_pallas(
+                s2,
+                b2,
                 cfg.nms_threshold,
                 cfg.keep_top_k,
                 cfg.nms_mode,
-                interpret=jax.devices()[0].platform == "cpu",
+                interpret=interpret,
+            )
+            if self.mesh is not None:
+                # Manual-sharding island: each device NMSes its local rows.
+                # The [B*C, ...] reshape is b-major, so a 'data' split of
+                # axis 0 keeps whole images on one device (C rows apiece).
+                from jax.sharding import PartitionSpec as P
+
+                run = jax.shard_map(
+                    run,
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P("data")),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+            s, bx = run(
+                top_scores.reshape(b * c, -1), top_boxes.reshape(b * c, -1, 4)
             )
             return s.reshape(b, c, -1), bx.reshape(b, c, -1, 4)
         nms_core = (
