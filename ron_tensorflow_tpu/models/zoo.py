@@ -287,12 +287,17 @@ class Xception(nn.Module):
 
 
 class InceptionResnetBlock(nn.Module):
-    """Scaled residual inception block (block35/block17/block8 family)."""
+    """Scaled residual inception block (block35/block17/block8 family).
+
+    activation=False gives the FINAL block8 of the reference net — scale 1,
+    no ReLU (ref: nets/inception_resnet_v2.py `block8(net,
+    activation_fn=None)` after the 9 scaled repeats)."""
 
     kind: str  # 'block35' | 'block17' | 'block8'
     scale: float = 0.17
     train: bool = False
     dtype: Any = jnp.float32
+    activation: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -320,7 +325,8 @@ class InceptionResnetBlock(nn.Module):
             mixed = jnp.concatenate([b0, b1], axis=-1)
         up = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype,
                      param_dtype=jnp.float32, name="up")(mixed)
-        return nn.relu(x + self.scale * up)
+        out = x + self.scale * up
+        return nn.relu(out) if self.activation else out
 
 
 class InceptionResnetV2(nn.Module):
@@ -383,6 +389,11 @@ class InceptionResnetV2(nn.Module):
         for i in range(self.blocks8):
             x = InceptionResnetBlock("block8", 0.20, self.train, self.dtype,
                                      name=f"block8_{i + 1}")(x)
+        # final unscaled, non-activated block8 (ref: inception_resnet_v2.py
+        # `net = block8(net, activation_fn=None)` after the scaled repeats;
+        # keras applications names it block8_10 with scale=1.0)
+        x = InceptionResnetBlock("block8", 1.0, self.train, self.dtype,
+                                 activation=False, name="block8_final")(x)
         x = cb(1536, (1, 1), "conv7b")(x)
         eps["conv7b"] = x
         x = jnp.mean(x, axis=(1, 2))

@@ -133,3 +133,166 @@ def inception_v3_from_torch(state_dict: Dict[str, Any]) -> Dict:
         "bias": sd["fc.bias"],
     }
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Keras-applications weight import (Xception, InceptionResNetV2) — the
+# reference's own Keras-weights intent for these nets
+# (ref: nets/xception.py:156-283 `xception_keras_arg_scope` /
+#  nets/inception_resnet_v2.py). The importers take an ORDERED list of
+# (layer_name, [weight arrays]) as produced by
+#   [(l.name, l.get_weights()) for l in keras_model.layers if l.get_weights()]
+# so no TF import happens here.
+# ---------------------------------------------------------------------------
+
+
+def _put(tree: Dict, path: Tuple[str, ...], leaf: str, arr: np.ndarray):
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    node[leaf] = arr
+
+
+def _put_bn(params, stats, path, w, scale=None):
+    """Keras BatchNormalization weights -> our BatchNorm leaves.
+
+    w is keras .get_weights(): [gamma, beta, mean, var] when scale=True
+    (Xception) or [beta, mean, var] when scale=False (InceptionResNetV2 —
+    gamma synthesized as ones)."""
+    if len(w) == 4:
+        gamma, beta, mean, var = w
+    else:
+        beta, mean, var = w
+        gamma = np.ones_like(beta)
+    _put(params, path, "scale", gamma)
+    _put(params, path, "bias", beta)
+    _put(stats, path, "mean", mean)
+    _put(stats, path, "var", var)
+
+
+def xception_from_keras(layer_weights) -> Dict:
+    """keras.applications.Xception weights -> flax variables for
+    `zoo.Xception(num_classes=1000)`.
+
+    Keras layer names are explicit in the keras source (block1_conv1,
+    blockN_sepconvM, predictions); only the four residual-shortcut convs are
+    auto-named (conv2d*, batch_normalization*) and map by order of
+    appearance: entry blocks 1-3, then the exit shortcut."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    # keras block index -> our module name
+    entry = {2: "entry_block1", 3: "entry_block2", 4: "entry_block3"}
+    shortcut_targets = ["entry_block1", "entry_block2", "entry_block3", None]
+    sc_conv = sc_bn = 0
+
+    for name, w in layer_weights:
+        if name.startswith("block1_conv"):
+            tgt = "entry1" if name.startswith("block1_conv1") else "entry2"
+            if name.endswith("_bn"):
+                _put_bn(params, stats, (tgt, "conv", "bn"), w)
+            else:
+                _put(params, (tgt, "conv", "conv"), "kernel", w[0])
+        elif name.startswith("conv2d"):
+            tgt = shortcut_targets[sc_conv]
+            sc_conv += 1
+            path = (tgt, "shortcut") if tgt else ("exit_shortcut",)
+            _put(params, path, "kernel", w[0])
+        elif name.startswith("batch_normalization"):
+            tgt = shortcut_targets[sc_bn]
+            sc_bn += 1
+            path = (tgt, "shortcut_bn") if tgt else ("exit_shortcut_bn",)
+            _put_bn(params, stats, path, w)
+        elif "_sepconv" in name:
+            blk = int(name.split("_")[0][5:])  # blockN
+            sep = name.split("_sepconv")[1][0]  # 1/2/3
+            if blk in entry:
+                mod = (entry[blk], f"sep{sep}")
+            elif 5 <= blk <= 12:
+                mod = (f"middle{blk - 4}_sep{sep}",)
+            elif blk == 13:
+                mod = (f"exit_sep{sep}",)
+            else:  # block14: sepconv1 -> exit_sep3, sepconv2 -> exit_sep4
+                mod = (f"exit_sep{int(sep) + 2}",)
+            if name.endswith("_bn"):
+                _put_bn(params, stats, mod + ("bn",), w)
+            else:
+                _put(params, mod, "depthwise",
+                     {"kernel": np.transpose(w[0], (0, 1, 3, 2))})
+                _put(params, mod, "pointwise", {"kernel": w[1]})
+        elif name == "predictions":
+            params["logits"] = {"kernel": w[0], "bias": w[1]}
+    return {"params": params, "batch_stats": stats}
+
+
+def _irv2_target_order(blocks35=10, blocks17=20, blocks8=9):
+    """Our InceptionResnetV2 ConvBN/up-conv paths in keras build order.
+    Yields ('convbn', path) for conv2d_bn pairs and ('conv', path) for the
+    biased 'up' projections; ends with ('dense', ('logits',))."""
+    order = []
+    for s in ("stem1", "stem2", "stem3", "stem4", "stem5"):
+        order.append(("convbn", (s,)))
+    for b in ("m5b_b0", "m5b_b1a", "m5b_b1b", "m5b_b2a", "m5b_b2b",
+              "m5b_b2c", "m5b_b3"):
+        order.append(("convbn", (b,)))
+    for i in range(blocks35):
+        for b in ("b0", "b1a", "b1b", "b2a", "b2b", "b2c"):
+            order.append(("convbn", (f"block35_{i + 1}", b)))
+        order.append(("conv", (f"block35_{i + 1}", "up")))
+    for b in ("ra_b0", "ra_b1a", "ra_b1b", "ra_b1c"):
+        order.append(("convbn", (b,)))
+    for i in range(blocks17):
+        for b in ("b0", "b1a", "b1b", "b1c"):
+            order.append(("convbn", (f"block17_{i + 1}", b)))
+        order.append(("conv", (f"block17_{i + 1}", "up")))
+    for b in ("rb_b0a", "rb_b0b", "rb_b1a", "rb_b1b", "rb_b2a", "rb_b2b",
+              "rb_b2c"):
+        order.append(("convbn", (b,)))
+    for i in range(blocks8 + 1):  # +1: the final unscaled block8
+        tag = f"block8_{i + 1}" if i < blocks8 else "block8_final"
+        for b in ("b0", "b1a", "b1b", "b1c"):
+            order.append(("convbn", (tag, b)))
+        order.append(("conv", (tag, "up")))
+    order.append(("convbn", ("conv7b",)))
+    order.append(("dense", ("logits",)))
+    return order
+
+
+def inception_resnet_v2_from_keras(layer_weights) -> Dict:
+    """keras.applications.InceptionResNetV2 weights -> flax variables for
+    `zoo.InceptionResnetV2(num_classes=1000)`.
+
+    Keras auto-names most layers, so mapping is ORDER-based: keras functional
+    build order equals our build order (branches b0..b3 then merge — both
+    follow the slim reference). conv2d_bn pairs arrive as a kernel-only
+    Conv2D followed by its scale=False BatchNormalization; block 'up'
+    projections as a biased Conv2D with no BN; 'predictions' last."""
+    order = _irv2_target_order()
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    it = iter(order)
+    pending_bn = None  # path of the ConvBN whose BN we expect next
+    for name, w in layer_weights:
+        shapes = [a.shape for a in w]
+        if len(w) == 1 and len(shapes[0]) == 4:  # kernel-only conv
+            kind, path = next(it)
+            assert kind == "convbn", f"unexpected conv at {path}"
+            _put(params, path + ("conv", "conv"), "kernel", w[0])
+            pending_bn = path
+        elif len(shapes[0]) == 1 and len(w) in (3, 4):  # BatchNorm
+            assert pending_bn is not None, f"BN {name} with no pending conv"
+            _put_bn(params, stats, pending_bn + ("conv", "bn"), w)
+            pending_bn = None
+        elif len(w) == 2 and len(shapes[0]) == 4:  # biased conv = block 'up'
+            kind, path = next(it)
+            assert kind == "conv", f"unexpected biased conv at {path}"
+            _put(params, path, "kernel", w[0])
+            _put(params, path, "bias", w[1])
+        elif len(w) == 2 and len(shapes[0]) == 2:  # dense
+            kind, path = next(it)
+            assert kind == "dense", f"unexpected dense at {path}"
+            params["logits"] = {"kernel": w[0], "bias": w[1]}
+        else:
+            raise ValueError(f"unrecognized keras layer {name}: {shapes}")
+    leftover = list(it)
+    assert not leftover, f"unfilled targets: {leftover[:3]}..."
+    return {"params": params, "batch_stats": stats}
