@@ -42,22 +42,73 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from reference_forward import weight_for  # noqa: E402
 
 E2E_FIXTURE = "tests/fixtures/e2e_parity.npz"
+TRAINED_FIXTURE = "tests/fixtures/e2e_parity_trained.npz"
 FWD_FIXTURE = "tests/fixtures/reference_forward.npz"
 
 pytestmark = pytest.mark.slow
 
 IMAGES = ["1", "2", "3", "4"]
 
+# "trained" runs the same parity against fixtures generated from a TRAINED
+# checkpoint pushed through the reference graph (E2E_WEIGHTS mode of
+# tools/make_e2e_fixtures.py) — realistic score distributions instead of
+# random-weight saturation. It needs the checkpoint itself (dir recorded in
+# the fixture; override with E2E_TRAINED_CKPT) and skips when unreachable.
+import os
+
+WEIGHT_CASES = ["pseudo"] + (
+    ["trained"] if os.path.exists(TRAINED_FIXTURE) else []
+)
+
+
+@pytest.fixture(scope="module", params=WEIGHT_CASES)
+def fx(request):
+    if request.param == "pseudo":
+        return np.load(E2E_FIXTURE, allow_pickle=False)
+    return np.load(TRAINED_FIXTURE, allow_pickle=False)
+
+
+def _load_trained_variables(fx):
+    """Restore the trained checkpoint the fixture was generated from, and
+    verify it is byte-identical (fingerprint) to what the reference graph
+    ran with."""
+    import zlib
+
+    from ron_tensorflow_tpu.train.checkpoint import CheckpointManager, flatten_params
+
+    ckpt_dir = os.environ.get("E2E_TRAINED_CKPT", str(fx["weights_ckpt_dir"]))
+    if not os.path.isdir(ckpt_dir):
+        pytest.skip(f"trained checkpoint unreachable: {ckpt_dir}")
+    model = RON(spec=RON_320_SPEC)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 320, 320, 3)), train=False
+        )
+    )
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    variables, _ = CheckpointManager(ckpt_dir).restore_eval(
+        zeros["params"], zeros.get("batch_stats", {})
+    )
+    flat = flatten_params(variables["params"])
+    flat.update(flatten_params(variables.get("batch_stats", {})))
+    flat = {k: np.asarray(v, np.float32) for k, v in flat.items()}
+    fp = zlib.crc32(b"".join(flat[k].tobytes() for k in sorted(flat))) & 0xFFFFFFFF
+    if fp != int(fx["weights_fingerprint"]):
+        pytest.skip(
+            f"checkpoint at {ckpt_dir} is not the fixture's weights "
+            f"({fp:#x} != {int(fx['weights_fingerprint']):#x})"
+        )
+    variables = jax.tree.map(jnp.asarray, variables)
+    return model, variables
+
 
 @pytest.fixture(scope="module")
-def fx():
-    return np.load(E2E_FIXTURE, allow_pickle=False)
-
-
-@pytest.fixture(scope="module")
-def model_and_variables():
-    """Regenerate the reference's deterministic weights and map them into our
-    model via the real checkpoint-import path (slim_ron_to_flat)."""
+def model_and_variables(fx):
+    """Pseudo case: regenerate the reference's deterministic weights and map
+    them in via the real checkpoint-import path (slim_ron_to_flat).
+    Trained case: restore the fingerprint-pinned orbax checkpoint."""
+    if "weights_fingerprint" in fx.files:
+        return _load_trained_variables(fx)
     ffx = np.load(FWD_FIXTURE, allow_pickle=False)
     names = [str(n) for n in ffx["var_names"]]
     shapes = json.loads(str(ffx["var_shapes"]))
