@@ -191,6 +191,7 @@ class RON(nn.Module):
     backbone_variant: str = "reduced"  # 'reduced' | 'heavy'
     dtype: Any = jnp.float32
     fuse_block1: bool = False  # Pallas block-1 kernel (see vgg.py)
+    s2d_stem: bool = False  # polyphase space-to-depth block 1 (see vgg.py)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> DetectorOutputs:
@@ -201,6 +202,7 @@ class RON(nn.Module):
             variant=self.backbone_variant,
             dtype=self.dtype,
             fuse_block1=self.fuse_block1,
+            s2d_stem=self.s2d_stem,
             name="backbone",
         )(x)
 

@@ -139,6 +139,7 @@ class SSD(nn.Module):
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
     fuse_block1: bool = False  # Pallas block-1 kernel (see vgg.py)
+    s2d_stem: bool = False  # polyphase space-to-depth block 1 (see vgg.py)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> DetectorOutputs:
@@ -147,7 +148,15 @@ class SSD(nn.Module):
         conv = lambda f, name, **kw: Conv(features=f, dtype=self.dtype, name=name, **kw)
 
         end_points = {}
-        if self.fuse_block1:
+        assert not (self.fuse_block1 and self.s2d_stem)
+        if self.s2d_stem:
+            from .vgg import _ConvKernelBias, s2d_block1, s2d_stem_supported
+
+            assert s2d_stem_supported(x.shape[1], x.shape[2])
+            w1, b1 = _ConvKernelBias((3, 3, 3, 64), name="conv1_1")()
+            w2, b2 = _ConvKernelBias((3, 3, 64, 64), name="conv1_2")()
+            x = s2d_block1(x, w1, b1, w2, b2, dtype=self.dtype)
+        elif self.fuse_block1:
             from ..kernels import fused_vgg_block1
             from .vgg import _ConvKernelBias, fused_block1_supported
 

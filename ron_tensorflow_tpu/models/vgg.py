@@ -45,6 +45,84 @@ class _KernelBias(nn.Module):
         return kernel, bias
 
 
+def _phase_output_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Phase-OUTPUT form of a 3x3 stride-1 SAME conv: one 4x4 stride-2 conv
+    whose 4*C_out channels are the four 2x2 output phases.
+
+        out[2i+p, 2j+q, o] = sum_{dy,dx} w[dy+1, dx+1] x[2i+p+dy, 2j+q+dx]
+                           = (conv(x_pad, K, stride 2))[i, j, (2p+q)C+o]
+        with K[a, b, :, (2p+q)C+o] = w[a-p, b-q]  (zero outside [0,3))
+
+    i.e. K places w at offset (p, q) inside the 4x4 window — built with four
+    static pads + one concat (backward = slice/add, no gather/scatter).
+    FLOP inflation is 16/9 (the structural zeros) but every MXU dimension is
+    round: contraction 4*4*C_in, output 4*C_out lanes.
+
+    w: [3, 3, C_in, C_out] -> K: [4, 4, C_in, 4*C_out] (phase-major p, q).
+    """
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3), "phase-output transform implemented for 3x3 only"
+    cols = [
+        jnp.pad(w, ((p, 1 - p), (q, 1 - q), (0, 0), (0, 0)))
+        for p in (0, 1)
+        for q in (0, 1)
+    ]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def s2d_block1(x, w1, b1, w2, b2, dtype=jnp.float32):
+    """VGG block 1 (conv1_1 + ReLU + conv1_2 + ReLU + 2x2 max pool) with the
+    expensive conv1_2 + pool computed as ONE phase-output stride-2 conv — the
+    TPU space-to-depth stem.
+
+    The hypothesis it tested: conv1_2 is ~95% of block 1's FLOPs and
+    profiles at ~16% MXU efficiency (64-in/64-out channels starve the
+    128-lane MXU). In phase-output form it becomes a [4, 4, 64, 256]
+    stride-2 conv (contraction 1024, output 256 lanes) that lands directly
+    on the pooled grid; pool1 is then an elementwise max over the 4 phase
+    channel groups. conv1_1 stays at the original layout (its FLOPs are
+    1/21 of conv1_2's).
+
+    MEASURED NEGATIVE (round-4 in-situ A/Bs, batch 32): the full-polyphase
+    variant (s2d input, dense phase convs, 2.67x FLOPs) ran 285 vs 310
+    img/s baseline; THIS phase-output form (16/9 FLOPs) ran 297 vs 310.
+    Both lose because block 1 at 320^2 x 64ch is HBM-bound, not MXU-lane
+    bound (see docs/tpu_performance.md rule 4) — extra FLOPs buy nothing
+    when the MXU waits on HBM. Kept opt-in (exact, tested, GSPMD-safe) as
+    the recorded result; do NOT enable expecting a speedup.
+
+    Exact (pure reindexing of the same parameters + the same f32
+    accumulation), differentiable, GSPMD-partitionable (plain XLA convs —
+    unlike the Pallas fused block 1 this works under pjit meshes and in
+    training). Returns [B, H/2, W/2, 64] = the post-pool1 tensor. Matches
+    the reference stem (ref: nets/ron_vgg_320.py:530-533 conv1 x2 + pool1).
+    """
+    dn = ("NHWC", "HWIO", "NHWC")
+    co2 = w2.shape[-1]
+
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w1.astype(dtype), (1, 1), "SAME", dimension_numbers=dn
+    )
+    y = jax.nn.relu(y + b1.astype(dtype))
+
+    k2 = _phase_output_kernel(w2).astype(dtype)
+    # out row phases (2i+p) tap input rows 2i-1..2i+2 -> pad (1, 2); the
+    # bottom/right pad rows only feed taps that are structural zeros or map
+    # to the original SAME pad, so the equality is exact.
+    y2 = jax.lax.conv_general_dilated(
+        y, k2, (2, 2), ((1, 2), (1, 2)), dimension_numbers=dn
+    )
+    y2 = jax.nn.relu(y2 + jnp.tile(b2, 4).astype(dtype))
+    b, h, w, _ = y2.shape
+    # pool1: the 2x2/stride-2 SAME max pool windows ARE the phase groups
+    return y2.reshape(b, h, w, 4, co2).max(axis=3)
+
+
+def s2d_stem_supported(height: int, width: int) -> bool:
+    """The phase-output stem needs even spatial dims (2x2 phase grid)."""
+    return height % 2 == 0 and width % 2 == 0
+
+
 def fused_block1_supported(height: int, width: int) -> bool:
     """The fused block-1 Pallas kernel needs an even width and a row tile
     that divides H (see kernels/fused_conv_pool.fused_vgg_block1)."""
@@ -70,13 +148,28 @@ class VGG16Backbone(nn.Module):
     # too; the `block1` (pre-pool) endpoint is not materialized (no RON/SSD
     # head consumes it).
     fuse_block1: bool = False
+    # Run block 1 in the 2x2 polyphase (space-to-depth) domain — exact, pure
+    # XLA, GSPMD-partitionable, same param tree (see s2d_block1). The train
+    # path's MXU fix for the channel-starved stem. Mutually exclusive with
+    # fuse_block1; `block1` endpoint not materialized (same caveat).
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         conv = lambda f, name, **kw: Conv(features=f, dtype=self.dtype, name=name, **kw)
         end_points = {}
 
-        if self.fuse_block1:
+        assert not (self.fuse_block1 and self.s2d_stem), (
+            "fuse_block1 and s2d_stem are mutually exclusive"
+        )
+        if self.s2d_stem:
+            assert s2d_stem_supported(x.shape[1], x.shape[2]), (
+                f"s2d_stem needs even spatial dims, got {x.shape}"
+            )
+            w1, b1 = _ConvKernelBias((3, 3, 3, 64), name="conv1_1")()
+            w2, b2 = _ConvKernelBias((3, 3, 64, 64), name="conv1_2")()
+            x = s2d_block1(x, w1, b1, w2, b2, dtype=self.dtype)
+        elif self.fuse_block1:
             from ..kernels import fused_vgg_block1
 
             assert fused_block1_supported(x.shape[1], x.shape[2]), (

@@ -76,7 +76,12 @@ class Trainer:
             from ..models.layers import set_bn_fast_normalize
 
             set_bn_fast_normalize(True)
-        if config.fuse_block1:
+        if config.s2d_stem:
+            from ..models.vgg import s2d_stem_supported
+
+            if s2d_stem_supported(*self.spec.img_shape):
+                self.model = self.model.clone(s2d_stem=True)
+        elif config.fuse_block1:
             from ..models.vgg import fused_block1_supported
 
             n_mesh = (
