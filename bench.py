@@ -1,8 +1,14 @@
-"""Benchmark: RON-320 end-to-end inference throughput on one TPU chip.
+"""Benchmark: RON-320 on one TPU chip — ALL THREE BASELINE.md tracked
+metrics in ONE JSON line:
 
-Measures the full detection pipeline (forward + decode + objectness gate +
-per-class select/clip/filter/sort/NMS — the `eval_ron_network` path) in
-bfloat16, batch 32, and prints ONE JSON line.
+  1. end-to-end inference throughput (forward + decode + objectness gate +
+     per-class select/clip/filter/sort/NMS — the `eval_ron_network` path),
+     bfloat16, batch 32: `value` / `vs_baseline`;
+  2. train-step throughput (device augmentation + GT encode + fwd/bwd +
+     update) at the published recipe batch 14 and at batch 32:
+     `train_images_per_sec_bs14` / `train_images_per_sec_bs32`;
+  3. batch-1 realtime serving latency (the `ron_eval.py` sec/image
+     condition): `latency_p50_ms` / `latency_p90_ms`.
 
 Baseline: MEASURED, not assumed. tools/reference_forward.py runs the
 reference's OWN ron_net_reducedfc graph (nets/ron_vgg_320.py:510-580, via
@@ -14,14 +20,19 @@ eval_ron_network.py:362-366 print timings only), and no GPU exists in this
 environment, so same-host CPU is the only measurable reference condition;
 the measurement conditions are recorded alongside the number. Fallback when
 BASELINE_MEASURED.json is absent: 25 img/s (the round-1 assumption).
+
+The train/latency extras are individually fault-tolerant: a failure there
+emits null for those keys but never loses the primary metric.
 """
 
 import json
 import os
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 ASSUMED_REFERENCE_IMG_PER_SEC = 25.0
 
@@ -38,12 +49,15 @@ def reference_baseline():
         )
     except (OSError, KeyError, ValueError):
         return ASSUMED_REFERENCE_IMG_PER_SEC, "assumed (BASELINE_MEASURED.json missing)"
+
+
 BATCH = 32
 WARMUP = 3
 ITERS = 20
+LAT_ITERS = 50
 
 
-def main():
+def bench_inference():
     from ron_tensorflow_tpu.inference import DetectionConfig, Detector
     from ron_tensorflow_tpu.models.ron import RON, RON_320_SPEC
 
@@ -72,8 +86,6 @@ def main():
     # default is 0 = strict reference semantics; see DetectionConfig).
     detector = Detector(model, spec, DetectionConfig(shared_top_k=1000))
 
-    import numpy as np
-
     # Compile + warmup. NOTE: the timing barrier is a small device->host
     # fetch, not block_until_ready — through the axon relay the latter can
     # ack before compute completes, inflating throughput by orders of
@@ -90,21 +102,126 @@ def main():
         out = detector(variables, image)
     np.asarray(out[0][0, 0])
     dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
 
-    img_per_sec = BATCH * ITERS / dt
-    base, base_src = reference_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "ron320_inference_images_per_sec_per_chip",
-                "value": round(img_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(img_per_sec / base, 2),
-                "baseline_img_per_sec": base,
-                "baseline_source": base_src,
-            }
-        )
+
+def bench_train(bs):
+    """Train-step img/s/chip at batch `bs` (tools/bench_train.py condition:
+    synthetic host batches, fused aug+encode+fwd/bwd+update, donated state)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ron_tensorflow_tpu.config import TrainConfig, apply_overrides
+    from ron_tensorflow_tpu.parallel import make_mesh, partition_params
+    from ron_tensorflow_tpu.train.trainer import Trainer
+
+    cfg = apply_overrides(
+        TrainConfig(),
+        [
+            "model=ron_320_vgg",
+            "model_dir=/tmp/bench_train_model",
+            f"data.batch_size={bs}",
+            "data.max_boxes=8",
+            "bfloat16=true",
+            "mesh_shape=[1, 1]",
+            "optimizer.learning_rate_decay_type=fixed",
+        ],
     )
+    t = Trainer(cfg)
+    mesh = make_mesh((1, 1))
+    state = t.init_state()
+    shardings = state.replace(
+        step=NamedSharding(mesh, P()),
+        params=partition_params(state.params, mesh),
+        batch_stats=jax.tree.map(lambda _: NamedSharding(mesh, P()), state.batch_stats),
+        opt_state=jax.tree.map(lambda _: NamedSharding(mesh, P()), state.opt_state),
+        ema_params=None,
+    )
+    state = jax.device_put(state, shardings)
+    step_fn = jax.jit(
+        t._full_step, in_shardings=(shardings, None, None), donate_argnums=(0,)
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "image01": jnp.asarray(rng.integers(0, 255, (bs, 512, 512, 3), np.uint8)),
+        "gt_boxes": jnp.asarray(
+            np.tile(np.array([[[0.2, 0.2, 0.7, 0.7]] + [[0.0] * 4] * 7], np.float32), (bs, 1, 1))
+        ),
+        "gt_labels": jnp.asarray(np.tile(np.array([[3] + [0] * 7], np.int32), (bs, 1))),
+        "gt_valid": jnp.asarray(np.tile(np.array([[True] + [False] * 7]), (bs, 1))),
+    }
+    key = jax.random.PRNGKey(0)
+    state, metrics = step_fn(state, batch, key)
+    np.asarray(metrics["loss/total"])  # fetch barrier through the tunnel
+    for _ in range(3):
+        state, metrics = step_fn(state, batch, key)
+    np.asarray(metrics["loss/total"])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch, key)
+    np.asarray(metrics["loss/total"])
+    dt = (time.perf_counter() - t0) / iters
+    return bs / dt
+
+
+def bench_latency():
+    """(p50_ms, p90_ms) batch-1 realtime-path latency, incl. host<->device
+    transfers (ref condition: ron_eval.py:582-584 'sec/image')."""
+    from ron_tensorflow_tpu.inference.detector import RealtimeConfig, RealtimeDetector
+    from ron_tensorflow_tpu.models.ron import RON, RON_320_SPEC
+
+    spec = RON_320_SPEC
+    model = RON(spec=spec, backbone_variant="reduced", dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(rng, jnp.zeros((1, *spec.img_shape, 3), jnp.float32), train=False)
+    device = jax.devices()[0]
+    variables = jax.device_put(variables, device)
+    images = np.asarray(jax.random.normal(rng, (LAT_ITERS, 1, *spec.img_shape, 3), jnp.float32))
+    rt = RealtimeDetector(model, spec, RealtimeConfig.for_spec(spec))
+    for i in range(3):  # compile + warmup on a dedicated image
+        out = rt(variables, jax.device_put(images[0], device))
+        [np.asarray(o) for o in out]
+    lat = []
+    for i in range(LAT_ITERS):
+        t0 = time.perf_counter()
+        out = rt(variables, jax.device_put(images[i], device))
+        [np.asarray(o) for o in out]  # host fetch = true completion barrier
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.asarray(lat)
+    return float(np.percentile(lat, 50)), float(np.percentile(lat, 90))
+
+
+def main():
+    img_per_sec = bench_inference()
+    base, base_src = reference_baseline()
+
+    record = {
+        "metric": "ron320_inference_images_per_sec_per_chip",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / base, 2),
+        "baseline_img_per_sec": base,
+        "baseline_source": base_src,
+        "train_images_per_sec_bs14": None,
+        "train_images_per_sec_bs32": None,
+        "latency_p50_ms": None,
+        "latency_p90_ms": None,
+    }
+    try:
+        record["train_images_per_sec_bs14"] = round(bench_train(14), 1)
+        record["train_images_per_sec_bs32"] = round(bench_train(32), 1)
+    except Exception:  # pragma: no cover - never lose the primary metric
+        traceback.print_exc()
+    try:
+        p50, p90 = bench_latency()
+        record["latency_p50_ms"] = round(p50, 2)
+        record["latency_p90_ms"] = round(p90, 2)
+    except Exception:  # pragma: no cover
+        traceback.print_exc()
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

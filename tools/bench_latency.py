@@ -34,7 +34,7 @@ def main():
     from ron_tensorflow_tpu.models import get_network
 
     model_name = sys.argv[1] if len(sys.argv) > 1 else "ron_320_vgg"
-    iters = int(os.environ.get("LAT_ITERS", "100"))
+    iters = max(1, int(os.environ.get("LAT_ITERS", "100")))
     batch = int(os.environ.get("LAT_BATCH", "1"))
 
     model, spec = get_network(model_name)
@@ -55,10 +55,29 @@ def main():
         jax.random.normal(rng, (iters, batch, *spec.img_shape, 3), jnp.float32)
     )
 
+    # Un-whitened random-normal inputs on random weights: the NMS while-loop
+    # iteration count depends on gate pass-rate / suppression chain depth, so
+    # measured p50/p90 is a synthetic NMS occupancy. Load a trained
+    # checkpoint (LAT_CKPT) for serving-representative numbers.
+    ckpt = os.environ.get("LAT_CKPT")
+    if ckpt:
+        from ron_tensorflow_tpu.train.checkpoint import CheckpointManager
+
+        variables, _ = CheckpointManager(ckpt).restore_eval(
+            variables["params"], variables.get("batch_stats", {})
+        )
+        variables = jax.device_put(variables, device)
+    else:
+        print("note: random weights/inputs — NMS occupancy is synthetic "
+              "(set LAT_CKPT=<orbax dir> for trained-distribution latency)")
+    warm_image = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (batch, *spec.img_shape, 3), jnp.float32)
+    )
+
     def run(name, detector, fetch):
-        # compile + warmup
-        for i in range(3):
-            out = detector(variables, jax.device_put(images[i % iters], device))
+        # compile + warmup on a dedicated image (never one of the timed set)
+        for _ in range(3):
+            out = detector(variables, jax.device_put(warm_image, device))
             fetch(out)
         lat = []
         for i in range(iters):
