@@ -152,7 +152,9 @@ def grain_batch_iterator(
         data_source=source,
         sampler=sampler,
         operations=[pg.Batch(batch_size=config.batch_size, drop_remainder=True)],
-        worker_count=0,  # in-process; raise on many-core hosts
+        # 0 = in-process; config.grain_workers spawns that many child
+        # processes (the multi-core decode path; same batches either way)
+        worker_count=config.grain_workers,
     )
     return iter(loader)
 

@@ -59,6 +59,15 @@ class PipelineConfig:
     # scales with cores; outputs are order-preserving and bit-identical to
     # serial. -1 = auto (min(8, cpu_count-1)); 0/1 = serial.
     decode_workers: int = -1
+    # Grain child PROCESSES for the grain_pipeline variant (0 = in-process).
+    # Raise on many-core hosts — the process pool is where the reference's
+    # 24 preprocessing threads (ref: ron_net.py:300) map for the
+    # deterministic/checkpointable pipeline. NOTE: grain shards indices
+    # across workers and interleaves their batch streams, so batch
+    # COMPOSITION differs from worker_count=0; the sample set, per-sample
+    # decode bytes, and run-to-run determinism are unchanged (tested in
+    # tests/test_grain.py).
+    grain_workers: int = 0
 
 
 def decode_jpeg_raw(data: bytes) -> np.ndarray:
