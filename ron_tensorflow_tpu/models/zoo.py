@@ -46,10 +46,16 @@ class ConvBN(nn.Module):
         )(x)
 
 
-def _pool(x, kind="max", window=(3, 3), strides=(1, 1), padding="SAME"):
+def _pool(x, kind="max", window=(3, 3), strides=(1, 1), padding="SAME",
+          count_include_pad=True):
+    """count_include_pad only affects 'avg' with SAME padding: TF/keras/slim
+    average pools EXCLUDE the padded zeros from the mean (pass False — the
+    reference semantics, needed for keras weight parity), torchvision
+    INCLUDES them (True — what the InceptionV3 torch import matches)."""
     if kind == "max":
         return nn.max_pool(x, window, strides, padding)
-    return nn.avg_pool(x, window, strides, padding)
+    return nn.avg_pool(x, window, strides, padding,
+                       count_include_pad=count_include_pad)
 
 
 class InceptionA(nn.Module):
@@ -358,7 +364,8 @@ class InceptionResnetV2(nn.Module):
         b2 = cb(64, (1, 1), "m5b_b2a")(x)
         b2 = cb(96, (3, 3), "m5b_b2b")(b2)
         b2 = cb(96, (3, 3), "m5b_b2c")(b2)
-        b3 = _pool(x, "avg")
+        # TF/slim/keras avg-pool semantics (padding excluded from the mean)
+        b3 = _pool(x, "avg", count_include_pad=False)
         b3 = cb(64, (1, 1), "m5b_b3")(b3)
         x = jnp.concatenate([b0, b1, b2, b3], axis=-1)
         for i in range(self.blocks35):

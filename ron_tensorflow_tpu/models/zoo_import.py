@@ -257,42 +257,87 @@ def _irv2_target_order(blocks35=10, blocks17=20, blocks8=9):
     return order
 
 
+def _keras_creation_index(name, family):
+    """Index of an auto-named keras layer within its name family
+    ('conv2d' -> 0, 'conv2d_7' -> 7); None for explicit names."""
+    if name == family:
+        return 0
+    suffix = name[len(family) + 1:]
+    if name.startswith(family + "_") and suffix.isdigit():
+        return int(suffix)
+    return None
+
+
 def inception_resnet_v2_from_keras(layer_weights) -> Dict:
     """keras.applications.InceptionResNetV2 weights -> flax variables for
     `zoo.InceptionResnetV2(num_classes=1000)`.
 
-    Keras auto-names most layers, so mapping is ORDER-based: keras functional
-    build order equals our build order (branches b0..b3 then merge — both
-    follow the slim reference). conv2d_bn pairs arrive as a kernel-only
-    Conv2D followed by its scale=False BatchNormalization; block 'up'
-    projections as a biased Conv2D with no BN; 'predictions' last."""
-    order = _irv2_target_order()
-    params: Dict[str, Any] = {}
-    stats: Dict[str, Any] = {}
-    it = iter(order)
-    pending_bn = None  # path of the ConvBN whose BN we expect next
+    Keras auto-names most of these layers, and `model.layers` is
+    TOPOLOGICAL (breadth-first by depth), not creation order -- but the
+    auto-name counters ('conv2d_7', 'batch_normalization_7') ARE creation
+    order, which equals our build order (branches b0..b3 then merge, like
+    the slim reference). So: bucket weighted layers by kind, sort each
+    bucket by its name counter (explicit names like 'conv_7b' sort last --
+    they are created last), pair the i-th BatchNormalization with the i-th
+    kernel-only Conv2D (conv2d_bn creates them in lockstep; the BNs are
+    scale=False), and zip with our target order. Block 'up' projections
+    arrive as biased Conv2D with no BN; 'predictions' is the dense head."""
+    convs_bn, ups, bns, dense = [], [], [], None
     for name, w in layer_weights:
         shapes = [a.shape for a in w]
-        if len(w) == 1 and len(shapes[0]) == 4:  # kernel-only conv
-            kind, path = next(it)
-            assert kind == "convbn", f"unexpected conv at {path}"
-            _put(params, path + ("conv", "conv"), "kernel", w[0])
-            pending_bn = path
-        elif len(shapes[0]) == 1 and len(w) in (3, 4):  # BatchNorm
-            assert pending_bn is not None, f"BN {name} with no pending conv"
-            _put_bn(params, stats, pending_bn + ("conv", "bn"), w)
-            pending_bn = None
-        elif len(w) == 2 and len(shapes[0]) == 4:  # biased conv = block 'up'
-            kind, path = next(it)
-            assert kind == "conv", f"unexpected biased conv at {path}"
-            _put(params, path, "kernel", w[0])
-            _put(params, path, "bias", w[1])
-        elif len(w) == 2 and len(shapes[0]) == 2:  # dense
-            kind, path = next(it)
-            assert kind == "dense", f"unexpected dense at {path}"
-            params["logits"] = {"kernel": w[0], "bias": w[1]}
+        if len(w) == 1 and len(shapes[0]) == 4:
+            convs_bn.append((name, w))
+        elif len(w) == 2 and len(shapes[0]) == 4:
+            ups.append((name, w))
+        elif len(shapes[0]) == 1 and len(w) in (3, 4):
+            bns.append((name, w))
+        elif len(w) == 2 and len(shapes[0]) == 2:
+            dense = (name, w)
         else:
             raise ValueError(f"unrecognized keras layer {name}: {shapes}")
-    leftover = list(it)
-    assert not leftover, f"unfilled targets: {leftover[:3]}..."
+
+    def creation_order(family):
+        def key(item):
+            idx = _keras_creation_index(item[0], family)
+            return (1, item[0]) if idx is None else (0, idx)
+
+        return key
+
+    convs_bn.sort(key=creation_order("conv2d"))
+    bns.sort(key=creation_order("batch_normalization"))
+    assert len(convs_bn) == len(bns), (len(convs_bn), len(bns))
+
+    targets = _irv2_target_order()
+    t_convbn = [p for k, p in targets if k == "convbn"]
+    assert len(t_convbn) == len(convs_bn), (len(t_convbn), len(convs_bn))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for path, (_, cw), (_, bw) in zip(t_convbn, convs_bn, bns):
+        _put(params, path + ("conv", "conv"), "kernel", cw[0])
+        _put_bn(params, stats, path + ("conv", "bn"), bw)
+
+    # block 'up' projections carry EXPLICIT keras names (block35_7_conv,
+    # block8_10_conv) -- map by name; the highest block8 index is the final
+    # unscaled block (our 'block8_final').
+    import re
+
+    n_block8 = max(
+        int(re.match(r"block8_(\d+)_conv$", n).group(1))
+        for n, _ in ups
+        if re.match(r"block8_(\d+)_conv$", n)
+    )
+    for name, uw in ups:
+        m = re.match(r"block(35|17|8)_(\d+)_conv$", name)
+        assert m, f"unexpected biased conv {name}"
+        kind, idx = m.group(1), int(m.group(2))
+        tag = (
+            "block8_final"
+            if kind == "8" and idx == n_block8
+            else f"block{kind}_{idx}"
+        )
+        _put(params, (tag, "up"), "kernel", uw[0])
+        _put(params, (tag, "up"), "bias", uw[1])
+    assert dense is not None, "missing predictions dense layer"
+    params["logits"] = {"kernel": dense[1][0], "bias": dense[1][1]}
     return {"params": params, "batch_stats": stats}

@@ -269,7 +269,7 @@ def test_xception_keras_import_logit_parity():
     from ron_tensorflow_tpu.models.zoo_import import xception_from_keras
 
     tf.random.set_seed(0)
-    km = tf.keras.applications.Xception(weights=None)
+    km = tf.keras.applications.Xception(weights=None, classifier_activation=None)
     _randomize_keras_bn_stats(km)
 
     x = np.random.default_rng(0).normal(0, 1, (1, 299, 299, 3)).astype(np.float32)
@@ -290,7 +290,7 @@ def test_inception_resnet_v2_keras_import_logit_parity():
     from ron_tensorflow_tpu.models.zoo_import import inception_resnet_v2_from_keras
 
     tf.random.set_seed(0)
-    km = tf.keras.applications.InceptionResNetV2(weights=None)
+    km = tf.keras.applications.InceptionResNetV2(weights=None, classifier_activation=None)
     _randomize_keras_bn_stats(km)
 
     x = np.random.default_rng(1).normal(0, 1, (1, 299, 299, 3)).astype(np.float32)
