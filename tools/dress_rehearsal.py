@@ -150,6 +150,30 @@ def make_dataset(out_root, n_train=10000, n_test=1000, seed=0, crowded=False):
                 )
             )
             i += 1
+        if crowded and len(objects) > 1:
+            # Mark objects that later draws painted over as 'difficult'
+            # (VOC semantics: excluded from AP). A fully-occluded gt is
+            # undetectable from pixels but would still count against AP —
+            # without this the crowded ceiling sits far below 1 for reasons
+            # that have nothing to do with the detector. Visibility is
+            # computed on a z-order index raster (128x128).
+            own = np.full((128, 128), -1, np.int32)
+            for k, o in enumerate(objects):
+                ymin, xmin, ymax, xmax = o.bbox
+                r0, r1 = int(ymin * 128), max(int(ymin * 128) + 1, int(ymax * 128))
+                c0, c1 = int(xmin * 128), max(int(xmin * 128) + 1, int(xmax * 128))
+                own[r0:r1, c0:c1] = k
+            for k, o in enumerate(objects):
+                ymin, xmin, ymax, xmax = o.bbox
+                r0, r1 = int(ymin * 128), max(int(ymin * 128) + 1, int(ymax * 128))
+                c0, c1 = int(xmin * 128), max(int(xmin * 128) + 1, int(xmax * 128))
+                area = (r1 - r0) * (c1 - c0)
+                visible = int((own[r0:r1, c0:c1] == k).sum())
+                if area > 0 and visible / area < 0.3:
+                    objects[k] = VocObject(
+                        label=o.label, label_text=o.label_text, bbox=o.bbox,
+                        difficult=1, truncated=o.truncated,
+                    )
         buf = io.BytesIO()
         img.save(buf, format="JPEG", quality=90)
         return buf.getvalue(), (h, w), objects
