@@ -44,8 +44,15 @@ def main():
     )
     print(f"[ab] {model_name} @ step {step}")
 
-    test_files = [os.path.join(work, "records", "synth_test_000.tfrecord")]
-    pcfg = PipelineConfig(batch_size=8, working_shape=spec.img_shape, max_boxes=8,
+    rec_dir = os.path.join(work, "records")
+    test_files = sorted(
+        os.path.join(rec_dir, f) for f in os.listdir(rec_dir) if "test" in f
+    )
+    # AB_MAX_BOXES: crowded rehearsal sets carry up to 48 GT/image — the
+    # default 8-pad would silently truncate the GT tables and corrupt recall.
+    max_boxes = int(os.environ.get("AB_MAX_BOXES", "8"))
+    pcfg = PipelineConfig(batch_size=8, working_shape=spec.img_shape,
+                          max_boxes=max_boxes,
                           shuffle=False, keep_difficult=True,
                           output_dtype="uint8")
 
