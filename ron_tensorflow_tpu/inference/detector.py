@@ -217,46 +217,68 @@ class Detector:
             top_scores = jnp.pad(top_scores, ((0, 0), (0, 0), (0, pad)))
             top_boxes = jnp.pad(top_boxes, ((0, 0), (0, 0), (0, pad), (0, 0)))
 
+        # NMS method/interpret dispatch. NEVER read the ambient default
+        # platform (jax.devices()[0]) here: it can be a tunneled TPU while
+        # the computation is placed on a CPU mesh (the MULTICHIP_r04
+        # regression). With a mesh, the target devices are statically known;
+        # without one, 'auto'/'pallas' defer the choice to XLA lowering time
+        # via lax.platform_dependent, which follows the actual placement.
         method = cfg.nms_method
-        if method == "auto":
-            method = "loop" if jax.devices()[0].platform == "cpu" else "pallas"
-        if method == "pallas":
-            from ..kernels import nms_sorted_pallas
+        b, c = top_scores.shape[:2]
+        flat_s = top_scores.reshape(b * c, -1)
+        flat_b = top_boxes.reshape(b * c, -1, 4)
 
-            b, c = top_scores.shape[:2]
-            interpret = jax.devices()[0].platform == "cpu"
-            run = lambda s2, b2: nms_sorted_pallas(
-                s2,
-                b2,
-                cfg.nms_threshold,
-                cfg.keep_top_k,
-                cfg.nms_mode,
+        from ..kernels import nms_sorted_pallas
+
+        def pallas_rows(interpret):
+            return lambda s2, b2: nms_sorted_pallas(
+                s2, b2, cfg.nms_threshold, cfg.keep_top_k, cfg.nms_mode,
                 interpret=interpret,
             )
-            if self.mesh is not None:
+
+        def xla_rows(core):
+            nms_fn = lambda s2, b2: core(
+                s2, b2, cfg.nms_threshold, cfg.keep_top_k, cfg.nms_mode
+            )
+            return jax.vmap(nms_fn)
+
+        if self.mesh is not None:
+            platform = next(iter(self.mesh.devices.flat)).platform
+            if method == "auto":
+                method = "loop" if platform == "cpu" else "pallas"
+            if method == "pallas":
                 # Manual-sharding island: each device NMSes its local rows.
                 # The [B*C, ...] reshape is b-major, so a 'data' split of
                 # axis 0 keeps whole images on one device (C rows apiece).
                 from jax.sharding import PartitionSpec as P
 
                 run = jax.shard_map(
-                    run,
+                    pallas_rows(platform == "cpu"),
                     mesh=self.mesh,
                     in_specs=(P("data"), P("data")),
                     out_specs=P("data"),
                     check_vma=False,
                 )
-            s, bx = run(
-                top_scores.reshape(b * c, -1), top_boxes.reshape(b * c, -1, 4)
+                s, bx = run(flat_s, flat_b)
+                return s.reshape(b, c, -1), bx.reshape(b, c, -1, 4)
+        elif method == "auto":
+            # Lowering-time choice: greedy sequential loop on CPU (faster
+            # than interpret-mode Pallas), the VMEM fixpoint kernel on
+            # accelerators.
+            s, bx = jax.lax.platform_dependent(
+                flat_s, flat_b,
+                cpu=xla_rows(nmsops.nms_sorted),
+                default=pallas_rows(False),
             )
+            return s.reshape(b, c, -1), bx.reshape(b, c, -1, 4)
+        elif method == "pallas":
+            s, bx = pallas_rows("auto")(flat_s, flat_b)
             return s.reshape(b, c, -1), bx.reshape(b, c, -1, 4)
         nms_core = (
             nmsops.nms_sorted_fixpoint if method == "fixpoint" else nmsops.nms_sorted
         )
-        nms_fn = lambda s, b: nms_core(
-            s, b, cfg.nms_threshold, cfg.keep_top_k, cfg.nms_mode
-        )
-        return jax.vmap(jax.vmap(nms_fn))(top_scores, top_boxes)
+        s, bx = xla_rows(nms_core)(flat_s, flat_b)
+        return s.reshape(b, c, -1), bx.reshape(b, c, -1, 4)
 
 
 class RealtimeDetector:
@@ -346,17 +368,22 @@ class RealtimeDetector:
             top_boxes = jnp.take_along_axis(
                 b[None, :, :], top_idx[..., None], axis=1
             )  # [C-1, k, 4]
-            method = (
-                "loop" if jax.devices()[0].platform == "cpu" else "fixpoint"
-            )
-            nms_core = (
-                nmsops.nms_sorted if method == "loop" else nmsops.nms_sorted_fixpoint
-            )
-            s, bx = jax.vmap(
-                lambda ss, bb: nms_core(
+            # Both variants are pure XLA with the same keep set; the pick is
+            # perf-only (loop wins on CPU, fixpoint on TPU) and is made at
+            # lowering time so it follows the computation's actual platform,
+            # not the ambient default device.
+            def run_nms(core):
+                per_class = lambda ss, bb: core(
                     ss, bb, cfg.nms_threshold, cfg.keep_per_class, cfg.nms_mode
                 )
-            )(top_scores, top_boxes)  # [C-1, keep_per_class]
+                return jax.vmap(per_class)
+
+            s, bx = jax.lax.platform_dependent(
+                top_scores,
+                top_boxes,
+                cpu=run_nms(nmsops.nms_sorted),
+                default=run_nms(nmsops.nms_sorted_fixpoint),
+            )  # [C-1, keep_per_class]
             labels = jnp.broadcast_to(
                 jnp.arange(1, num_classes, dtype=jnp.int32)[:, None], s.shape
             )

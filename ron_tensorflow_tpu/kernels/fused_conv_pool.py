@@ -342,16 +342,36 @@ def _block1_xla_reference(x, w1, b1, w2, b2):
     return max_pool_2x2(h2)
 
 
+def _fused_vgg_block1_dispatch(x, w1, b1, w2, b2, interpret):
+    """interpret True/False runs that mode; 'auto' defers the choice to XLA
+    LOWERING time via lax.platform_dependent, so the kernel follows the
+    platform the computation is actually placed on — never the ambient
+    default platform (jax.devices()[0] can be a tunneled TPU while the
+    arrays are committed to a CPU mesh; reading it here mis-dispatched
+    exactly that case)."""
+    if interpret == "auto":
+        return jax.lax.platform_dependent(
+            x, w1, b1, w2, b2,
+            cpu=functools.partial(_fused_vgg_block1_impl, interpret=True),
+            default=functools.partial(_fused_vgg_block1_impl, interpret=False),
+        )
+    return _fused_vgg_block1_impl(x, w1, b1, w2, b2, interpret=bool(interpret))
+
+
+# The platform_dependent dispatch lives INSIDE the custom_vjp primal:
+# lax.cond branches cannot be linearized through a custom_vjp function, but
+# a custom_vjp whose primal contains the cond differentiates fine (autodiff
+# only ever sees the registered bwd).
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_vgg_block1_ad(interpret, x, w1, b1, w2, b2):
-    return _fused_vgg_block1_impl(x, w1, b1, w2, b2, interpret=interpret)
+    return _fused_vgg_block1_dispatch(x, w1, b1, w2, b2, interpret)
 
 
 def _fused_vgg_block1_fwd(interpret, x, w1, b1, w2, b2):
     # Save only the inputs: block-1 intermediates ([B,H,W,64] x2, the
     # largest activations in the network) never reach HBM in fwd OR bwd.
     return (
-        _fused_vgg_block1_impl(x, w1, b1, w2, b2, interpret=interpret),
+        _fused_vgg_block1_dispatch(x, w1, b1, w2, b2, interpret),
         (x, w1, b1, w2, b2),
     )
 
@@ -371,7 +391,7 @@ def fused_vgg_block1(
     b1: jnp.ndarray,
     w2: jnp.ndarray,
     b2: jnp.ndarray,
-    interpret: bool = False,
+    interpret="auto",
 ) -> jnp.ndarray:
     """maxpool2(relu(convB(relu(convA(x))))) fused in one Pallas pass.
 
@@ -379,8 +399,13 @@ def fused_vgg_block1(
     intermediates stay in VMEM); the backward recomputes them via the XLA
     composition and differentiates that (flash-attention-style
     recompute-VJP), so training saves both the forward kernel time and the
-    HBM round-trips of stored block-1 activations."""
-    return _fused_vgg_block1_ad(bool(interpret), x, w1, b1, w2, b2)
+    HBM round-trips of stored block-1 activations.
+
+    interpret: True/False, or 'auto' (default) to pick interpret mode per
+    the platform the computation is lowered for."""
+    if interpret != "auto":
+        interpret = bool(interpret)
+    return _fused_vgg_block1_ad(interpret, x, w1, b1, w2, b2)
 
 
 def _kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, rows, width, cin, cout):

@@ -258,22 +258,37 @@ def pallas_nms_fixpoint_keep_mask(
 
 
 def nms_sorted_pallas(scores, boxes, nms_threshold=0.5, keep_top_k=200, mode="min",
-                      interpret: bool = False, method: str = "fixpoint"):
+                      interpret="auto", method: str = "fixpoint"):
     """Drop-in variant of `ops.nms.nms_sorted` for batched rows.
 
     scores [R, K], boxes [R, K, 4] -> (scores [R, keep_top_k],
     boxes [R, keep_top_k, 4]) compacted in score order. method='fixpoint'
     (chain-depth iterations on a VMEM overlap matrix) or 'scan' (the
     K-step sequential kernel); both produce the sequential-greedy keep set.
+
+    interpret: True/False, or 'auto' (default) — with 'auto' the
+    interpret-vs-compiled choice is made at XLA lowering time
+    (lax.platform_dependent), following the platform the computation is
+    actually placed on rather than the ambient default platform.
     """
     if method == "fixpoint":
-        keep = pallas_nms_fixpoint_keep_mask(
-            scores, boxes, nms_threshold, mode, interpret=interpret
+        mask_fn = functools.partial(
+            pallas_nms_fixpoint_keep_mask,
+            nms_threshold=nms_threshold, mode=mode,
         )
     else:
-        keep = pallas_nms_keep_mask(
-            scores, boxes, nms_threshold, keep_top_k, mode, interpret=interpret
+        mask_fn = functools.partial(
+            pallas_nms_keep_mask,
+            nms_threshold=nms_threshold, keep_top_k=keep_top_k, mode=mode,
         )
+    if interpret == "auto":
+        keep = jax.lax.platform_dependent(
+            scores, boxes,
+            cpu=functools.partial(mask_fn, interpret=True),
+            default=functools.partial(mask_fn, interpret=False),
+        )
+    else:
+        keep = mask_fn(scores, boxes, interpret=bool(interpret))
     pos = jnp.cumsum(keep, axis=-1) - 1
     keep = keep & (pos < keep_top_k)
     dst = jnp.where(keep, pos, keep_top_k)

@@ -163,9 +163,9 @@ class SSD(nn.Module):
             assert fused_block1_supported(x.shape[1], x.shape[2])
             w1, b1 = _ConvKernelBias((3, 3, 3, 64), name="conv1_1")()
             w2, b2 = _ConvKernelBias((3, 3, 64, 64), name="conv1_2")()
-            x = fused_vgg_block1(
-                x, w1, b1, w2, b2, interpret=jax.devices()[0].platform == "cpu"
-            )
+            # interpret='auto': resolved at lowering time per the actual
+            # target platform (never the ambient default device).
+            x = fused_vgg_block1(x, w1, b1, w2, b2, interpret="auto")
         else:
             x = conv(64, "conv1_1")(x)
             x = conv(64, "conv1_2")(x)

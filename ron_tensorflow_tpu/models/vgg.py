@@ -177,9 +177,10 @@ class VGG16Backbone(nn.Module):
             )
             w1, b1 = _ConvKernelBias((3, 3, 3, 64), name="conv1_1")()
             w2, b2 = _ConvKernelBias((3, 3, 64, 64), name="conv1_2")()
+            # interpret='auto': resolved at lowering time per the actual
+            # target platform (never the ambient default device).
             x = fused_vgg_block1(
-                x.astype(self.dtype), w1, b1, w2, b2,
-                interpret=jax.devices()[0].platform == "cpu",
+                x.astype(self.dtype), w1, b1, w2, b2, interpret="auto"
             )
         else:
             x = conv(64, "conv1_1")(x)
