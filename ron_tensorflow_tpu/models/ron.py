@@ -192,6 +192,7 @@ class RON(nn.Module):
     dtype: Any = jnp.float32
     fuse_block1: bool = False  # Pallas block-1 kernel (see vgg.py)
     s2d_stem: bool = False  # polyphase space-to-depth block 1 (see vgg.py)
+    remat_blocks12: bool = False  # recompute blocks 1-2 in bwd (see vgg.py)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> DetectorOutputs:
@@ -203,6 +204,7 @@ class RON(nn.Module):
             dtype=self.dtype,
             fuse_block1=self.fuse_block1,
             s2d_stem=self.s2d_stem,
+            remat_blocks12=self.remat_blocks12,
             name="backbone",
         )(x)
 

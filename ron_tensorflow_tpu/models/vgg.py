@@ -153,6 +153,25 @@ class VGG16Backbone(nn.Module):
     # path's MXU fix for the channel-starved stem. Mutually exclusive with
     # fuse_block1; `block1` endpoint not materialized (same caveat).
     s2d_stem: bool = False
+    # Rematerialize blocks 1-2 (conv1_1..pool2) in the backward pass
+    # (jax.checkpoint / nn.remat): their full-resolution activations — the
+    # largest in the network and ~3x over block 1's HBM traffic floor at
+    # bs32 (NOTES round-4 #1) — are recomputed instead of round-tripping
+    # HBM as saved residuals. Same param tree; `block1`/`block2` endpoints
+    # not materialized (no RON/SSD head consumes them). Training-side
+    # experiment knob; exact by construction.
+    remat_blocks12: bool = False
+
+    def _blocks12(self, x):
+        """conv1_1..pool2 as one rematerializable span (names unchanged, so
+        the param tree matches the inline path exactly)."""
+        conv = lambda f, name: Conv(features=f, dtype=self.dtype, name=name)
+        x = conv(64, "conv1_1")(x)
+        x = conv(64, "conv1_2")(x)
+        x = max_pool_2x2(x)
+        x = conv(128, "conv2_1")(x)
+        x = conv(128, "conv2_2")(x)
+        return max_pool_2x2(x)
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -162,7 +181,12 @@ class VGG16Backbone(nn.Module):
         assert not (self.fuse_block1 and self.s2d_stem), (
             "fuse_block1 and s2d_stem are mutually exclusive"
         )
-        if self.s2d_stem:
+        assert not (self.remat_blocks12 and (self.fuse_block1 or self.s2d_stem)), (
+            "remat_blocks12 applies to the plain block-1/2 path"
+        )
+        if self.remat_blocks12:
+            x = nn.remat(VGG16Backbone._blocks12)(self, x)
+        elif self.s2d_stem:
             assert s2d_stem_supported(x.shape[1], x.shape[2]), (
                 f"s2d_stem needs even spatial dims, got {x.shape}"
             )
@@ -187,10 +211,11 @@ class VGG16Backbone(nn.Module):
             x = conv(64, "conv1_2")(x)
             end_points["block1"] = x
             x = max_pool_2x2(x)
-        x = conv(128, "conv2_1")(x)
-        x = conv(128, "conv2_2")(x)
-        end_points["block2"] = x
-        x = max_pool_2x2(x)
+        if not self.remat_blocks12:  # block 2 lives inside the remat span
+            x = conv(128, "conv2_1")(x)
+            x = conv(128, "conv2_2")(x)
+            end_points["block2"] = x
+            x = max_pool_2x2(x)
         x = conv(256, "conv3_1")(x)
         x = conv(256, "conv3_2")(x)
         x = conv(256, "conv3_3")(x)

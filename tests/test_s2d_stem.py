@@ -125,3 +125,43 @@ def test_ron_s2d_forward_parity(rng):
     got = model.clone(s2d_stem=True).apply(variables, x, train=False)
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_backbone_remat12_parity(rng):
+    """remat_blocks12: same param tree, same forward (endpoints minus the
+    unmaterialized block1/block2), same parameter gradients — remat must be
+    a pure scheduling change."""
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    plain = VGG16Backbone(variant="reduced")
+    remat = VGG16Backbone(variant="reduced", remat_blocks12=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    variables2 = remat.init(jax.random.PRNGKey(0), x)
+    jax.tree.map(lambda a, b: None, variables["params"], variables2["params"])
+    ref = plain.apply(variables, x)
+    got = remat.apply(variables, x)
+    assert set(got) == set(ref) - {"block1", "block2"}
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5
+        )
+
+    common = set(got)  # grads over the endpoints both paths emit
+
+    def loss_of(model):
+        return lambda p: sum(
+            jnp.sum(v**2)
+            for k, v in model.apply({"params": p}, x).items()
+            if k in common
+        )
+
+    g_ref = jax.grad(loss_of(plain))(variables["params"])
+    g_got = jax.grad(loss_of(remat))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_remat12_guards():
+    with pytest.raises(AssertionError):
+        VGG16Backbone(remat_blocks12=True, fuse_block1=True).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3))
+        )

@@ -50,28 +50,42 @@ def main():
             rng, jnp.zeros((1, *spec.img_shape, 3), jnp.float32), train=False
         )
     device = jax.devices()[0]
-    variables = jax.device_put(variables, device)
-    images = np.asarray(
-        jax.random.normal(rng, (iters, batch, *spec.img_shape, 3), jnp.float32)
+    # WHITENED pixel-scale inputs (uint8 -> [0,1] -> VGG mean subtraction):
+    # the serving input distribution, not standard-normal noise.
+    from ron_tensorflow_tpu.data.preprocess import whiten_np
+
+    host_rng = np.random.default_rng(0)
+    images = whiten_np(
+        host_rng.integers(0, 256, (iters, batch, *spec.img_shape, 3)).astype(
+            np.float32
+        )
+        / 255.0
     )
 
-    # Un-whitened random-normal inputs on random weights: the NMS while-loop
-    # iteration count depends on gate pass-rate / suppression chain depth, so
-    # measured p50/p90 is a synthetic NMS occupancy. Load a trained
-    # checkpoint (LAT_CKPT) for serving-representative numbers.
-    ckpt = os.environ.get("LAT_CKPT")
+    # The NMS while-loop iteration count depends on gate pass-rate /
+    # suppression chain depth, so random weights measure a synthetic NMS
+    # occupancy. Default to a trained checkpoint: LAT_CKPT, else the
+    # dress-rehearsal path for this model if one exists on this host.
+    import glob
+
+    candidates = [os.environ.get("LAT_CKPT", "")] + sorted(
+        glob.glob(f"/tmp/dress_{model_name}*/model")
+    )
+    ckpt = next((c for c in candidates if c and os.path.isdir(c)), None)
     if ckpt:
         from ron_tensorflow_tpu.train.checkpoint import CheckpointManager
 
-        variables, _ = CheckpointManager(ckpt).restore_eval(
+        variables, step = CheckpointManager(ckpt).restore_eval(
             variables["params"], variables.get("batch_stats", {})
         )
-        variables = jax.device_put(variables, device)
+        print(f"weights: trained {ckpt} (step {step})")
     else:
-        print("note: random weights/inputs — NMS occupancy is synthetic "
+        print("note: RANDOM weights — NMS occupancy is synthetic "
               "(set LAT_CKPT=<orbax dir> for trained-distribution latency)")
-    warm_image = np.asarray(
-        jax.random.normal(jax.random.PRNGKey(1), (batch, *spec.img_shape, 3), jnp.float32)
+    variables = jax.device_put(variables, device)
+    warm_image = whiten_np(
+        host_rng.integers(0, 256, (batch, *spec.img_shape, 3)).astype(np.float32)
+        / 255.0
     )
 
     def run(name, detector, fetch):

@@ -419,8 +419,35 @@ def main():
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     ok = map07_s >= 0.5 and delta <= 0.06
+    result["ok"] = ok
+    _record_rehearsal(result)
     print("DRESS REHEARSAL:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
+
+
+def _record_rehearsal(result):
+    """Append the run to the repo-root REHEARSAL_<round>.json artifact so
+    judges can diff rehearsal mAPs across rounds without re-running 20k-step
+    trainings (VERDICT r4 #7). One JSON file per round holding a list of
+    run records, keyed (model, crowded) — a re-run replaces its entry."""
+    rnd = os.environ.get("DR_ROUND", "r05")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"REHEARSAL_{rnd}.json",
+    )
+    runs = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                runs = json.load(f)
+        except Exception:
+            runs = []
+    key = (result["model"], result["crowded"])
+    runs = [r for r in runs if (r.get("model"), r.get("crowded")) != key]
+    runs.append(result)
+    with open(path, "w") as f:
+        json.dump(runs, f, indent=1)
+    print(f"[rehearsal] recorded -> {path}")
 
 
 if __name__ == "__main__":

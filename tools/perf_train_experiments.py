@@ -18,6 +18,9 @@ Variants:
               Pallas fwd, XLA-recomputed bwd — block-1 activations never
               stored; see kernels/fused_conv_pool.py)
   block1_bn   block1 + bn_fast combined
+  remat12     nn.remat on blocks 1-2 only (VGG16Backbone.remat_blocks12) —
+              recompute the bandwidth-bound early activations in the bwd
+              instead of round-tripping them through HBM
 
 Run: PYTHONPATH=.:/root/.axon_site python tools/perf_train_experiments.py [bs] [variant...]
 """
@@ -91,7 +94,7 @@ def make_remat_step(model, encoder, tx, loss_config, policy=None):
 def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     wanted = sys.argv[2:] or ["base", "bn_fast", "remat", "remat_dots", "block1",
-                              "block1_bn"]
+                              "block1_bn", "remat12"]
 
     from ron_tensorflow_tpu.data.preprocess import PreprocessConfig, train_augment_batch
     from ron_tensorflow_tpu.losses.ron import RonLossConfig
@@ -153,6 +156,13 @@ def main():
     if "block1_bn" in wanted:
         variants["block1_bn"] = make_train_step(
             fused_model, encoder, tx, RonLossConfig())
+    if "remat12" in wanted:
+        # blocks 1-2 only (nn.remat span in VGG16Backbone): their saved
+        # activations dominate block 1's measured ~3x-over-floor HBM traffic
+        # (NOTES round-4 #1); full-model remat already measured 0.81x, this
+        # targets just the bandwidth-bound span
+        variants["remat12"] = make_train_step(
+            model.clone(remat_blocks12=True), encoder, tx, RonLossConfig())
 
     from ron_tensorflow_tpu.models import layers
 
