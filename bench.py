@@ -85,7 +85,7 @@ def probe_link_rtt(device, iters=40):
     return float(np.percentile(lat, 50)), float(np.percentile(lat, 90))
 
 
-def bench_inference():
+def bench_inference(shared_top_k=0, approx_top_k=False):
     from ron_tensorflow_tpu.inference import DetectionConfig, Detector
     from ron_tensorflow_tpu.models.ron import RON, RON_320_SPEC
 
@@ -110,9 +110,13 @@ def bench_inference():
         jax.random.normal(rng, (BATCH, *spec.img_shape, 3), jnp.float32), device
     )
 
-    # shared_top_k=1000: the A/B-validated whole-image preselection (library
-    # default is 0 = strict reference semantics; see DetectionConfig).
-    detector = Detector(model, spec, DetectionConfig(shared_top_k=1000))
+    # Primary metric runs the library defaults = strict reference semantics
+    # (exact per-class top-k, no preselection): the crowded-scale A/B
+    # (NOTES.md round 5) measured shared_top_k/approx_top_k NOT lossless on
+    # dense scenes, so the headline number is the exact config and the
+    # knobbed config is recorded separately for continuity with r1-r4.
+    detector = Detector(model, spec, DetectionConfig(
+        shared_top_k=shared_top_k, approx_top_k=approx_top_k))
 
     # Compile + warmup. NOTE: the timing barrier is a small device->host
     # fetch, not block_until_ready — through the axon relay the latter can
@@ -314,6 +318,7 @@ def main():
             round(img_per_sec, 2),
             round(img_per_sec_2, 2),
         ],
+        "inference_images_per_sec_fast_knobs": None,
         "link_rtt_ms_p50_p90_before": [round(x, 2) for x in rtt_before],
         "link_rtt_ms_p50_p90_after": None,
         "train_images_per_sec_bs14": None,
@@ -324,6 +329,13 @@ def main():
         "latency_pipelined_ms": None,
         "latency_weights": None,
     }
+    try:
+        # r1-r4 continuity condition: preselection + approx selection on.
+        record["inference_images_per_sec_fast_knobs"] = round(
+            bench_inference(shared_top_k=1000, approx_top_k=True), 2
+        )
+    except Exception:
+        traceback.print_exc()
     try:
         record["train_images_per_sec_bs14"] = round(bench_train(14), 1)
         r1 = bench_train(32)

@@ -125,9 +125,11 @@ class EvalConfig:
     keep_top_k: int = 100
     nms_threshold: float = 0.4
     # Whole-image candidate preselection (TPU speed knob; 0 = strict
-    # reference semantics). K=1000 was A/B-validated mAP-lossless on trained
-    # checkpoints (NOTES.md); set 0 for crowded scenes with >1000 candidates.
-    shared_top_k: int = 1000
+    # reference semantics — the default). K=1000 was mAP-lossless on the
+    # sparse-scene A/B but measured -0.0005 mAP07 on the crowded-rehearsal
+    # A/B (NOTES.md round 5): preselection drops crowd candidates, so eval
+    # runs exact by default and K>0 is an opt-in serving knob.
+    shared_top_k: int = 0
     matching_threshold: float = 0.5
     # Report the model losses on eval batches alongside mAP, like the
     # reference's streaming eval graph (ref: eval_ron_network.py:212-220).

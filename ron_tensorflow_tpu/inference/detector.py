@@ -45,12 +45,18 @@ class DetectionConfig:
     min_size: float = 0.03
     # TPU speed knobs (exact reference semantics when False/'loop'/0):
     # approx_top_k uses lax.approx_max_k for candidate selection (~2x faster
-    # postproc, >=95% candidate recall). All NMS methods produce the SAME
-    # keep set (unit-tested): 'loop' = sequential greedy scan, 'fixpoint' =
-    # XLA suppression fixpoint, 'pallas' = VMEM-resident batched fixpoint
-    # kernel (fastest on TPU, ~1.1 ms faster e2e at batch 32), 'auto' =
-    # pallas on accelerators / loop on CPU.
-    approx_top_k: bool = True
+    # postproc, >=95% candidate recall). Default OFF: the crowded-scale A/B
+    # (NOTES.md round 5) measured it NOT mAP-lossless on dense scenes
+    # (mAP07 0.6775 vs 0.6756 exact on the crowded rehearsal — sparse
+    # scenes measured identical), so exact selection is the default and
+    # approx is an opt-in speed lever. All NMS methods produce the SAME
+    # keep set for the same candidates (unit-tested, and the crowded A/B
+    # measured loop/fixpoint/pallas mAP-identical to 10 digits): 'loop' =
+    # sequential greedy scan, 'fixpoint' = XLA suppression fixpoint,
+    # 'pallas' = VMEM-resident batched fixpoint kernel (fastest on TPU,
+    # ~1.1 ms faster e2e at batch 32), 'auto' = pallas on accelerators /
+    # loop on CPU.
+    approx_top_k: bool = False
     nms_method: str = "auto"  # 'auto' | 'loop' | 'fixpoint' | 'pallas'
     # Run model.apply and postprocess as two XLA programs instead of one
     # fused program. Workaround for a libtpu crash ("TPU worker process
@@ -64,9 +70,10 @@ class DetectionConfig:
     # N=21250, K=1000). 0 = off (per-class selection over all anchors, the
     # reference's semantics — and the library default). A candidate outside
     # the shared top-K is dropped for EVERY class, which can lose detections
-    # on crowded scenes; the CLI eval presets and bench enable K=1000 where
-    # the mAP A/B showed it lossless (see NOTES.md). Nonzero K also disables
-    # approx_top_k in the second (per-class) stage.
+    # on crowded scenes: the sparse-scene A/B measured K=1000 lossless, but
+    # the crowded-rehearsal A/B measured -0.0005 mAP07 (NOTES.md round 5),
+    # so eval presets keep it OFF and it remains an opt-in serving knob.
+    # Nonzero K also disables approx_top_k in the second (per-class) stage.
     shared_top_k: int = 0
 
 

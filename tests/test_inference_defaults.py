@@ -133,7 +133,8 @@ def test_detector_approx_fall_through_when_topk_covers_all():
 
 
 def test_detector_default_config_runs_and_ranks():
-    """Smoke the exact shipping DetectionConfig() (approx + fixpoint)."""
+    """Smoke the exact shipping DetectionConfig() (exact selection + auto
+    NMS — crowd-safe defaults per the round-5 crowded A/B)."""
     out = _tiny_outputs(np.random.default_rng(2))
     s, b = _detector().postprocess(out)
     s = np.asarray(s)

@@ -80,7 +80,9 @@ def main():
         "exact reference (no knobs)": replace(
             base, shared_top_k=0, approx_top_k=False, nms_method="loop"
         ),
-        "approx_top_k only": replace(base, shared_top_k=0, nms_method="loop"),
+        "approx_top_k only": replace(
+            base, approx_top_k=True, shared_top_k=0, nms_method="loop"
+        ),
         "presel shared_top_k=1000": replace(base, shared_top_k=1000),
         "presel + pallas NMS": replace(base, shared_top_k=1000, nms_method="pallas"),
         "pallas NMS": replace(base, nms_method="pallas"),
