@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..models.ron import DetectorSpec
 from ..ops import boxes as boxops
+from ..ops import math as mathops
 from ..ops import nms as nmsops
 from ..ops.decode import decode_boxes
 from ..ops.select import select_per_class
@@ -57,6 +58,16 @@ class DetectionConfig:
     # ~1.1 ms faster e2e at batch 32), 'auto' = pallas on accelerators /
     # loop on CPU.
     approx_top_k: bool = False
+    # Exact top-k via per-chunk partial top-k + final top-k over the
+    # candidate pool (ops/math.py::exact_top_k_chunked) — BIT-IDENTICAL to
+    # lax.top_k incl. tie order (tested on-chip), unlike approx_top_k.
+    # Default 16: measured +12% e2e at batch 32 over plain lax.top_k
+    # (626.6 -> 700.0 img/s, tools/perf_topk.py) with zero semantic change,
+    # so the exact reference semantics stay the default AND keep most of
+    # the approx path's speed. 0/1 = plain lax.top_k. Applies to the
+    # per-class selection stage (and the shared preselection stage when
+    # enabled); ignored when approx_top_k is set.
+    topk_chunks: int = 16
     nms_method: str = "auto"  # 'auto' | 'loop' | 'fixpoint' | 'pallas'
     # Run model.apply and postprocess as two XLA programs instead of one
     # fused program. Workaround for a libtpu crash ("TPU worker process
@@ -194,7 +205,7 @@ class Detector:
             if cfg.approx_top_k:
                 _, cand = jax.lax.approx_max_k(m, kk)  # [B, K]
             else:
-                _, cand = jax.lax.top_k(m, kk)
+                _, cand = mathops.exact_top_k_chunked(m, kk, cfg.topk_chunks)
             scores = jnp.take_along_axis(
                 scores, cand[:, None, :], axis=2
             )  # [B, C-1, K]
@@ -215,7 +226,9 @@ class Detector:
         if cfg.approx_top_k and k < scores.shape[-1] and not cfg.shared_top_k:
             top_scores, top_idx = jax.lax.approx_max_k(scores, k)
         else:
-            top_scores, top_idx = jax.lax.top_k(scores, k)  # [B, C-1, k]
+            top_scores, top_idx = mathops.exact_top_k_chunked(
+                scores, k, cfg.topk_chunks
+            )  # [B, C-1, k]
         top_boxes = jnp.take_along_axis(
             decoded[:, None, :, :], top_idx[..., None], axis=2
         )  # [B, C-1, k, 4]

@@ -57,6 +57,46 @@ def softmax_ce(logits, labels):
     return lse - picked
 
 
+def exact_top_k_chunked(x, k: int, num_chunks: int = 8):
+    """Exact top-k along the last axis via per-chunk top-k + a final top-k
+    over the candidate pool. BIT-IDENTICAL to `jax.lax.top_k` — values,
+    indices, order, and tie resolution (ties go to the smallest index):
+    every global top-k element is inside its own chunk's top-k, and the
+    candidate pool is laid out chunk-major (= ascending original index among
+    equal scores, both across and within chunks), so the final top-k's
+    earliest-position tie-break picks the same elements in the same order.
+
+    Motivation: XLA's TopK on TPU has a cost that grows with the scan length
+    n; splitting n into `num_chunks` independent partial top-ks (one
+    vectorized call) and finishing on the `num_chunks*k` survivors does
+    less total sorting work for the detection shapes (n ~ 21k anchors,
+    k ~ 200; see docs/tpu_performance.md). Falls back to plain `top_k`
+    when chunking cannot shrink the problem (n < num_chunks * k) —
+    callers may pass any `num_chunks` without correctness risk.
+
+    Replaces the approx/exact tradeoff of `lax.approx_max_k` for the
+    detection selection stage (ref semantics: nets/ssd_common.py:504-589
+    per-class top-k): approx selection measured -0.002 mAP on crowded
+    scenes (NOTES.md round 5), this path is exact by construction.
+    """
+    *lead, n = x.shape
+    if num_chunks <= 1 or n < num_chunks * k:
+        return jax.lax.top_k(x, k)
+    pad = (-n) % num_chunks
+    if pad:
+        x = jnp.pad(
+            x, [(0, 0)] * len(lead) + [(0, pad)], constant_values=-jnp.inf
+        )
+    m = (n + pad) // num_chunks
+    xr = x.reshape(*lead, num_chunks, m)
+    chunk_vals, chunk_idx = jax.lax.top_k(xr, k)  # [..., chunks, k]
+    base = (jnp.arange(num_chunks, dtype=chunk_idx.dtype) * m)[:, None]
+    pool_idx = (chunk_idx + base).reshape(*lead, num_chunks * k)
+    pool_vals = chunk_vals.reshape(*lead, num_chunks * k)
+    vals, pos = jax.lax.top_k(pool_vals, k)
+    return vals, jnp.take_along_axis(pool_idx, pos, axis=-1)
+
+
 def abs_smooth(x):
     """Smoothed L1 with the reference's differentiable min/abs form
     (ref: nets/custom_layers.py:51-63)."""
