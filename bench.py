@@ -200,10 +200,12 @@ def bench_train(bs):
 
 
 def _latency_variables(model, spec, rng):
-    """Trained rehearsal weights when reachable (BENCH_CKPT env or the
-    dress-rehearsal default path), else random init. Trained score
-    distributions matter here: random weights saturate the objectness gate
-    and overfill NMS — unrealistically heavy postproc (advisor nit)."""
+    """Trained rehearsal weights when reachable (BENCH_CKPT env, the
+    dress-rehearsal default path, or the bf16 weights packed inside the
+    committed e2e-parity fixture — always present in a fresh tree), else
+    random init. Trained score distributions matter here: random weights
+    saturate the objectness gate and overfill NMS — unrealistically heavy
+    postproc (advisor nit)."""
     import glob
 
     candidates = [os.environ.get("BENCH_CKPT", "")] + sorted(
@@ -227,6 +229,32 @@ def _latency_variables(model, spec, rng):
                 return jax.tree.map(jnp.asarray, variables), f"trained:{ckpt}@{step}"
             except Exception:
                 traceback.print_exc()
+    # hermetic fallback: the step-20000 crowded-rehearsal weights packed in
+    # the e2e parity fixture (uint16-viewed bf16; same unpack as
+    # tests/test_e2e_parity.py::_load_trained_variables)
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "e2e_parity_trained.npz",
+    )
+    try:
+        import ml_dtypes
+
+        from ron_tensorflow_tpu.train.checkpoint import unflatten_params
+
+        fx = np.load(fixture, allow_pickle=False)
+        unpack = lambda a: np.asarray(a).view(ml_dtypes.bfloat16).astype(np.float32)
+        variables = {
+            "params": unflatten_params(
+                {k[4:]: jnp.asarray(unpack(fx[k])) for k in fx.files if k.startswith("wp::")}
+            ),
+            "batch_stats": unflatten_params(
+                {k[4:]: jnp.asarray(unpack(fx[k])) for k in fx.files if k.startswith("ws::")}
+            ),
+        }
+        step = int(fx["weights_step"]) if "weights_step" in fx.files else -1
+        return variables, f"trained:e2e_parity_trained.npz@{step}"
+    except Exception:
+        traceback.print_exc()
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(

@@ -382,7 +382,9 @@ class RealtimeDetector:
             keep = base[:, None] & (cls > cfg.select_threshold)
             scores = jnp.where(keep, cls, 0.0).T  # [C-1, N]
             k = min(cfg.top_k, scores.shape[-1])
-            top_scores, top_idx = jax.lax.top_k(scores, k)  # [C-1, k]
+            # chunked exact top-k: bit-identical to lax.top_k, ~18% faster
+            # on the full-anchor scan (ops/math.py, tools/perf_topk.py)
+            top_scores, top_idx = mathops.exact_top_k_chunked(scores, k, 16)
             # trailing-axis gather — same lowering as Detector.postprocess
             # (leading-axis gathers fault in libtpu on SSD shapes)
             top_boxes = jnp.take_along_axis(
